@@ -1,0 +1,167 @@
+"""QR-based UdV factorization and stable Green's-function formulas.
+
+This is the TPU equivalent of the reference's stabilization primitive
+(SURVEY.md §3 rows "UdV decomposition" / "DQMC core": ``udvDecompose``,
+``greenFromUdV``, ``greenFromEye_and_UdV``). A long B-matrix chain has
+condition number ~exp(beta*W); partial products are therefore kept in
+factored form A = U @ diag(d) @ V with U unitary and d positive, and the
+Green's function G = (1 + A)^{-1} is evaluated without ever forming the
+ill-conditioned sum (SURVEY.md §9).
+
+Convention used by the sweep (chosen so every ill-conditioned object is
+sandwiched between *unitary* factors — no triangular inverses of stack
+factors are ever needed, which is both more stable and more MXU-friendly
+than solve-heavy forms):
+
+- "left" stack entries factor   B_l ... B_1          = U1 d1 V1   (straight)
+- "right" stack entries factor (B_m ... B_{l+1})^H   = U2 d2 V2,
+  i.e. B_m ... B_{l+1} = V2^H d2 U2^H                (transposed)
+
+so that G(l) = [1 + (U1 d1 V1)(V2^H d2 U2^H)]^{-1}
+             = U2 [U1^H U2 + d1 (V1 V2^H) d2]^{-1} U1^H
+
+with the inner bracket re-UdV'd and range-split (d = max(d,1)*min(d,1))
+before any product is formed.
+
+All functions are pure, jit-safe, batchable (leading batch dims broadcast),
+and run contractions at HIGHEST precision (TPU defaults to bf16 matmuls).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from detqmc_tpu.precision import mm, scale_cols, scale_rows
+
+
+class UDV(NamedTuple):
+    """A = U @ diag(d) @ V; U unitary, d > 0."""
+
+    U: jax.Array  # (..., n, n)
+    d: jax.Array  # (..., n)      positive, real
+    V: jax.Array  # (..., n, n)
+
+
+def _H(a: jax.Array) -> jax.Array:
+    """Conjugate transpose (plain transpose for real dtypes)."""
+    at = jnp.swapaxes(a, -1, -2)
+    return jnp.conj(at) if jnp.issubdtype(a.dtype, jnp.complexfloating) else at
+
+
+def udv_decompose(A: jax.Array) -> UDV:
+    """QR-based UdV: A = Q R = (Q s) |diag(R)| (diag(conj(s)/|R_ii|) R).
+
+    The phase/sign of R's diagonal is folded into U so d stays positive,
+    matching the reference's convention (positive scales make log-domain
+    bookkeeping and conditioning monitors straightforward).
+    """
+    Q, R = jnp.linalg.qr(A)
+    diag = jnp.diagonal(R, axis1=-2, axis2=-1)
+    d = jnp.abs(diag)
+    safe = jnp.where(d == 0, 1.0, d)  # guard degenerate input
+    if jnp.issubdtype(A.dtype, jnp.complexfloating):
+        sign = jnp.where(d == 0, 1.0 + 0j, diag / safe)
+    else:
+        sign = jnp.where(diag >= 0, 1.0, -1.0).astype(A.dtype)
+    U = scale_cols(Q, sign)
+    V = scale_rows(jnp.conj(sign) / safe, R)
+    return UDV(U=U, d=d, V=V)
+
+
+def udv_multiply_left(B: jax.Array, f: UDV) -> UDV:
+    """UdV of (B @ U d V): refactor (B U) d, accumulate V.
+
+    Stack-advance step: extend a factored partial product by a freshly
+    computed block of B matrices on the left (time grows leftward in
+    B_m ... B_1). For the transposed right stack, pass B^H of the new block.
+    """
+    C = scale_cols(mm(B, f.U), f.d)
+    g = udv_decompose(C)
+    return UDV(U=g.U, d=g.d, V=mm(g.V, f.V))
+
+
+def udv_eye(n: int, dtype, batch_shape=()) -> UDV:
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (*batch_shape, n, n))
+    real_dtype = jnp.finfo(dtype).dtype  # f32 for c64, f64 for c128, etc.
+    one = jnp.ones((*batch_shape, n), dtype=real_dtype)
+    return UDV(U=eye, d=one, V=eye)
+
+
+def green_from_two_udv(left: UDV, right_t: UDV) -> jax.Array:
+    """Stable G(l) = (1 + B_{<=l} B_{>l})^{-1} from factored halves.
+
+    left    straight UdV of B_l ... B_1            (= U1 d1 V1)
+    right_t UdV of the conj-transposed right half: (B_m ... B_{l+1})^H
+            (= U2 d2 V2), so B_{>l} = V2^H d2 U2^H.
+
+    G = U2 [ d1max (d1max^{-1} U1^H U2 d2max^{-1}
+             + d1min (V1 V2^H) d2min) d2max ]^{-1} U1^H
+
+    where dmax = max(d, 1), dmin = min(d, 1) bound every formed product's
+    dynamic range (essential in fp32). Only the inner re-UdV's V' is
+    triangular-solved; all other inverses are unitary transposes.
+    (Reference parity: greenFromUdV / advanceUp(Down)Green, SURVEY.md §9.)
+    """
+    d1 = left.d.astype(left.U.real.dtype)
+    d2 = right_t.d.astype(left.U.real.dtype)
+    d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
+    d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
+    UhU = mm(_H(left.U), right_t.U)            # U1^H U2
+    VVh = mm(left.V, _H(right_t.V))            # V1 V2^H
+    inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
+             + scale_cols(scale_rows(d1min, VVh), d2min))
+    g = udv_decompose(inner)
+    # G = U2 d2max^{-1} V'^{-1} d'^{-1} U'^H d1max^{-1} U1^H
+    rhs = scale_rows(1.0 / g.d.astype(d1.dtype),
+                     scale_cols(_H(g.U), 1.0 / d1max))
+    mid = jnp.linalg.solve(g.V, rhs.astype(g.V.dtype))
+    return mm(scale_cols(right_t.U, 1.0 / d2max), mm(mid, _H(left.U)))
+
+
+def green_from_udv(f: UDV) -> jax.Array:
+    """Stable G = (1 + U d V)^{-1} for a straight full-chain factorization
+    (used at sweep boundaries and after global moves).
+
+    Implemented as the pair formula with an identity other half.
+    """
+    n = f.U.shape[-1]
+    eye_t = udv_eye(n, f.U.dtype, batch_shape=f.d.shape[:-1])
+    return green_from_two_udv(f, eye_t)
+
+
+def log_det_one_plus_udv(f: UDV) -> Tuple[jax.Array, jax.Array]:
+    """(log|det(1 + UdV)|, sign/phase) in the log domain.
+
+    Used for global-move Metropolis ratios (the reference recomputes the
+    stabilized determinant for globalShift/Wolff accepts, SURVEY.md §4.1).
+    det(1 + UdV) = det(U) * det(U^H V^{-1} + d) * det(V); computed via the
+    range-split inner matrix so no overflow occurs.
+    """
+    n = f.U.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=f.U.dtype), f.U.shape)
+    Vinv = jnp.linalg.solve(f.V, eye)
+    d = f.d.astype(f.U.real.dtype)
+    dmax, dmin = jnp.maximum(d, 1.0), jnp.minimum(d, 1.0)
+    # 1 + UdV = U dmax (dmax^{-1} U^H V^{-1} + dmin) V  (det of each factor)
+    inner = scale_rows(1.0 / dmax, mm(_H(f.U), Vinv)) + _diag_embed(
+        dmin.astype(f.U.dtype))
+    sU, ldU = jnp.linalg.slogdet(f.U)
+    sI, ldI = jnp.linalg.slogdet(inner)
+    sV, ldV = jnp.linalg.slogdet(f.V)
+    log_dmax = jnp.log(dmax).sum(axis=-1)
+    return ldU + ldI + ldV + log_dmax, sU * sI * sV
+
+
+def _diag_embed(d: jax.Array) -> jax.Array:
+    n = d.shape[-1]
+    return d[..., :, None] * jnp.eye(n, dtype=d.dtype)
+
+
+def singular_value_range(f: UDV) -> Tuple[jax.Array, jax.Array]:
+    """(log10 max d, log10 min d): the conditioning monitor the reference
+    exposes via its logSV instrumentation (SURVEY.md §5 item 1)."""
+    logd = jnp.log10(jnp.maximum(f.d, jnp.finfo(f.d.dtype).tiny))
+    return logd.max(axis=-1), logd.min(axis=-1)

@@ -1,0 +1,520 @@
+"""BSS determinantal QMC for the repulsive Hubbard model — TPU-native.
+
+Reference parity: SURVEY.md §3 row "Hubbard model" (DetHubbard:
+Hirsch +-1 auxiliary field, alpha = acosh(e^{dtau U/2}), per-site Metropolis
+with closed-form determinant ratio, Sherman-Morrison rank-1 Green updates,
+two spin components) and §3 row "DQMC core" (sweep up/down with Green
+wrapping and UdV-stack stabilization).
+
+TPU-first design decisions (NOT a translation of the C++ loop nest):
+
+- One walker's sweep is a nest of ``lax.scan``s: outer over stabilization
+  intervals (consuming/emitting UdV stack entries as scan xs/ys), inner
+  over the ``s`` slices of an interval, innermost over lattice sites. The
+  whole sweep is a single XLA program.
+- Both spin sectors ride a leading component axis (2, N, N) so every
+  linear-algebra op is batched; independent walkers are ``vmap``-ed on top,
+  turning the per-site rank-1 updates into large batched outer products and
+  the wraps/QRs into MXU-sized batched matmuls (SURVEY.md §3 parallelism
+  table, "data parallelism" row).
+- The right-moving stack stores the *conjugate-transposed* partial products
+  so stack extension is always a left QR update (see linalg/udv.py).
+- Between stabilizations, the pending B-block product is absorbed lazily
+  into the stack factor's U (one B apply per slice, one QR per interval).
+
+The "sweep" unit matches the reference: one full pass over all time slices
+in one direction; the driver alternates directions (reference:
+DetModelGC::sweep with lastSweepDir, SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detqmc_tpu import lattice as lattice_mod
+from detqmc_tpu.linalg import bchain
+from detqmc_tpu.linalg.udv import (
+    UDV,
+    green_from_two_udv,
+    log_det_one_plus_udv,
+    udv_decompose,
+    udv_eye,
+)
+from detqmc_tpu.precision import mm, scale_cols
+
+SPIN_SIGN = np.array([+1.0, -1.0])  # component axis: [up, down]
+
+
+@dataclasses.dataclass(frozen=True)
+class HubbardConfig:
+    """Static simulation parameters (reference: ModelParams<DetHubbard> +
+    DetQMCParams core numerics, SURVEY.md §3 "Config/flag system").
+
+    Exactly two of (beta, m, dtau) must be consistent: we take (beta, m)
+    and derive dtau = beta / m, mirroring the reference's two-of-three rule.
+    """
+
+    L: int = 4
+    t: float = 1.0
+    U: float = 4.0
+    mu: float = 0.0
+    beta: float = 4.0
+    m: int = 40                 # imaginary-time slices
+    s: int = 8                  # stabilization interval (slices per UdV)
+    checkerboard: bool = False
+    delay: int = 0              # 0 = plain rank-1 SM updates; k>0 = delayed
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.m % self.s != 0:
+            raise ValueError(f"m={self.m} must be divisible by s={self.s}")
+        if self.checkerboard and self.L % 2 != 0:
+            raise ValueError("checkerboard requires even L")
+        if self.delay < 0:
+            raise ValueError("delay must be >= 0")
+
+    @property
+    def dtau(self) -> float:
+        return self.beta / self.m
+
+    @property
+    def n_sites(self) -> int:
+        return self.L * self.L
+
+    @property
+    def n_stack(self) -> int:
+        return self.m // self.s
+
+    @property
+    def alpha(self) -> float:
+        return float(np.arccosh(np.exp(self.dtau * self.U / 2.0)))
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class Stack(NamedTuple):
+    """UdV stack storage: entry k factors either B_{ks}..B_1 (left, after an
+    up sweep) or (B_m..B_{ks+1})^T (right, after a down sweep / init)."""
+
+    U: jax.Array  # (K+1, 2, N, N)
+    d: jax.Array  # (K+1, 2, N)
+    V: jax.Array  # (K+1, 2, N, N)
+
+    def entry(self, k) -> UDV:
+        return UDV(self.U[k], self.d[k], self.V[k])
+
+
+class WalkerState(NamedTuple):
+    """Per-walker device state (leading walker axis added by vmap)."""
+
+    field: jax.Array       # (m, N) +-1 Hirsch spins, run dtype
+    G: jax.Array           # (2, N, N) equal-time Green at the sweep edge
+    stack: Stack
+    key: jax.Array         # PRNG key
+    sign: jax.Array        # exact weight sign, tracked via ratio signs
+    next_dir: jax.Array    # int32: 0 = next sweep goes up, 1 = down
+    sweeps_done: jax.Array  # int32 counter (for checkpoint/resume parity)
+    green_dev: jax.Array   # f32: max |G_wrapped - G_stabilized| last sweep
+    sv_min: jax.Array      # f32: log10 smallest stack scale seen last sweep
+    sv_max: jax.Array      # f32
+
+
+class Observables(NamedTuple):
+    """Per-measurement observable values (reference set, SURVEY.md §3
+    "Hubbard model" observables)."""
+
+    occupancy: jax.Array
+    doubleOccupancy: jax.Array
+    kineticEnergy: jax.Array
+    potentialEnergy: jax.Array
+    totalEnergy: jax.Array
+    sign: jax.Array
+    spinCorrelation: jax.Array      # (N,) <S^z_0 S^z_r> translation-averaged
+    spinStructureFactorAF: jax.Array  # S(pi, pi)
+    acceptance: jax.Array
+
+
+class HubbardModel:
+    """Factory binding static config + device constants to jitted kernels.
+
+    Not a translation of the reference's DetHubbard class: methods are pure
+    functions over WalkerState pytrees; `self` only holds trace-time
+    constants.
+    """
+
+    def __init__(self, cfg: HubbardConfig):
+        self.cfg = cfg
+        self.lat = lattice_mod.SquareLattice(cfg.L)
+        dt = cfg.jdtype
+        self.prop = bchain.make_propagators(
+            self.lat, cfg.t, cfg.dtau, cfg.mu, dtype=dt,
+            checkerboard=cfg.checkerboard)
+        self.K_mat = jnp.asarray(self.lat.hopping_matrix(cfg.t), dt)
+        self.spin_sign = jnp.asarray(SPIN_SIGN, dt)
+        # displacement table for translation-averaged correlations:
+        # disp_idx[d, i] = site index of (r_i + r_d)
+        N = cfg.n_sites
+        s_ = np.arange(N)
+        x, y = self.lat.xy(s_)
+        dx, dy = self.lat.xy(s_)
+        self.disp_idx = jnp.asarray(
+            self.lat.site(x[None, :] + dx[:, None], y[None, :] + dy[:, None]),
+            jnp.int32)
+        # (-1)^(x+y) staggering for the AF structure factor
+        self.stagger = jnp.asarray((-1.0) ** (x + y), dt)
+        self._jit_cache = {}
+
+    # -- potential diagonals ------------------------------------------------
+    def exp_v(self, field_slice: jax.Array) -> jax.Array:
+        """e_l = exp(spin * alpha * s_l): shape (2, N) from (N,)."""
+        return jnp.exp(self.spin_sign[:, None] * self.cfg.alpha
+                       * field_slice[None, :])
+
+    # -- site updates (the sequential Metropolis inner loop) ----------------
+    def _update_slice(self, G, field_l, u01, sign):
+        """Sequential single-site Metropolis with Sherman-Morrison rank-1
+        updates (reference: DetHubbard::updateInSlice, SURVEY.md §9
+        "Hubbard HS"). G: (2,N,N); field_l, u01: (N,). The exact weight sign
+        is threaded through accepted ratio signs (a slogdet of the
+        ill-conditioned G would be unreliable in fp32)."""
+        alpha = self.cfg.alpha
+        ss = self.spin_sign
+
+        def site_step(carry, i):
+            G, field_l, sign = carry
+            s_i = field_l[i]
+            delta = jnp.exp(-2.0 * ss * alpha * s_i) - 1.0        # (2,)
+            Gii = G[:, i, i]
+            R = 1.0 + delta * (1.0 - Gii)                          # (2,)
+            Rtot = R[0] * R[1]
+            accept = u01[i] < jnp.abs(Rtot)
+            coef = jnp.where(accept, delta / R, 0.0)               # (2,)
+            u = G[:, :, i]                                         # (2, N)
+            w = -G[:, i, :]
+            w = w.at[:, i].add(1.0)                                # e_i - G_i.
+            G = G - coef[:, None, None] * u[:, :, None] * w[:, None, :]
+            field_l = field_l.at[i].set(jnp.where(accept, -s_i, s_i))
+            sign = jnp.where(accept, sign * jnp.sign(Rtot), sign)
+            return (G, field_l, sign), accept
+
+        (G, field_l, sign), acc = jax.lax.scan(
+            site_step, (G, field_l, sign), jnp.arange(self.cfg.n_sites))
+        return G, field_l, sign, acc.mean(dtype=self.cfg.jdtype)
+
+    def _update_slice_delayed(self, G, field_l, u01, sign):
+        """Delayed (block rank-k) update: accumulate accepted rank-1 updates
+        in (N,k) buffers; reconstruct needed rows/columns on the fly; flush
+        with one batched matmul per block (reference: updateMethod=delayed,
+        SURVEY.md §3 "SDW model" — the reference applies it to SDW; we offer
+        it for Hubbard too since it is the TPU-efficient form)."""
+        cfg = self.cfg
+        N, kd = cfg.n_sites, cfg.delay
+        alpha, ss = cfg.alpha, self.spin_sign
+        n_blocks = -(-N // kd)
+        pad = n_blocks * kd - N
+        # process sites in blocks of kd; pad tail with "site N-1 repeated,
+        # forced-reject" slots
+        site_ids = jnp.concatenate(
+            [jnp.arange(N), jnp.full((pad,), N - 1, jnp.int32)])
+        u01p = jnp.concatenate([u01, jnp.full((pad,), 2.0, u01.dtype)])
+        # u01 >= 1 never accepts (|R|<inf), so pad slots are inert
+
+        def block_step(carry, b):
+            G, field_l, sign = carry
+            Ubuf = jnp.zeros((2, N, kd), G.dtype)
+            Wbuf = jnp.zeros((2, kd, N), G.dtype)
+
+            def site_step(c, j):
+                G, field_l, Ubuf, Wbuf, sign = c
+                i = site_ids[b * kd + j]
+                s_i = field_l[i]
+                # effective row/col i of G including pending updates
+                g_col = G[:, :, i] + jnp.einsum(
+                    "cnk,ck->cn", Ubuf, Wbuf[:, :, i])
+                g_row = G[:, i, :] + jnp.einsum(
+                    "ck,ckn->cn", Ubuf[:, i, :], Wbuf)
+                g_ii = g_col[:, i]  # == g_row[:, i]
+                delta = jnp.exp(-2.0 * ss * alpha * s_i) - 1.0
+                R = 1.0 + delta * (1.0 - g_ii)
+                Rtot = R[0] * R[1]
+                accept = u01p[b * kd + j] < jnp.abs(Rtot)
+                coef = jnp.where(accept, -delta / R, 0.0)
+                w = -g_row
+                w = w.at[:, i].add(1.0)
+                Ubuf = Ubuf.at[:, :, j].set(coef[:, None] * g_col)
+                Wbuf = Wbuf.at[:, j, :].set(
+                    jnp.where(accept, w, jnp.zeros_like(w)))
+                field_l = field_l.at[i].set(jnp.where(accept, -s_i, s_i))
+                sign = jnp.where(accept, sign * jnp.sign(Rtot), sign)
+                return (G, field_l, Ubuf, Wbuf, sign), accept
+
+            (G, field_l, Ubuf, Wbuf, sign), acc = jax.lax.scan(
+                site_step, (G, field_l, Ubuf, Wbuf, sign), jnp.arange(kd))
+            G = G + mm(Ubuf, Wbuf)  # flush: one batched (N,k)@(k,N) gemm
+            return (G, field_l, sign), acc
+
+        (G, field_l, sign), acc = jax.lax.scan(
+            block_step, (G, field_l, sign), jnp.arange(n_blocks))
+        acc_real = acc.reshape(-1)[:N]  # drop inert pad slots
+        return G, field_l, sign, acc_real.mean(dtype=self.cfg.jdtype)
+
+    def update_slice(self, G, field_l, u01, sign=None):
+        if sign is None:
+            sign = jnp.ones((), self.cfg.jdtype)
+        if self.cfg.delay > 0:
+            return self._update_slice_delayed(G, field_l, u01, sign)
+        return self._update_slice(G, field_l, u01, sign)
+
+    # -- wraps ----------------------------------------------------------------
+    def wrap_up(self, G, e):
+        """G(l) = B_l G(l-1) B_l^{-1}."""
+        cb = self.cfg.checkerboard
+        return bchain.b_mult_left(
+            self.prop, e,
+            bchain.b_inv_mult_right(self.prop, G, e, checkerboard=cb),
+            checkerboard=cb)
+
+    def wrap_down(self, G, e):
+        """G(l-1) = B_l^{-1} G(l) B_l."""
+        cb = self.cfg.checkerboard
+        return bchain.b_inv_mult_left(
+            self.prop, e,
+            bchain.b_mult_right(self.prop, G, e, checkerboard=cb),
+            checkerboard=cb)
+
+    # -- measurements ----------------------------------------------------------
+    def measure_equal_time(self, G: jax.Array, acc_rate,
+                           sign=None) -> Observables:
+        """Wick-contracted equal-time estimators from G (SURVEY.md §3
+        "Hubbard model" observable list). `sign` is the exactly-tracked
+        configuration weight sign (ratio-sign bookkeeping; a slogdet of the
+        exponentially ill-conditioned G is not fp32-safe)."""
+        cfg = self.cfg
+        N = cfg.n_sites
+        if sign is None:
+            sign = jnp.ones((), G.dtype)
+        Gu, Gd = G[0], G[1]
+        nu = 1.0 - jnp.diagonal(Gu)
+        nd = 1.0 - jnp.diagonal(Gd)
+        occ = (nu + nd).mean()
+        docc = (nu * nd).mean()
+        e_kin = -(jnp.sum(self.K_mat.T * Gu) + jnp.sum(self.K_mat.T * Gd)) / N
+        e_pot = cfg.U * jnp.mean(nu * nd - 0.5 * (nu + nd) + 0.25)
+        # <S^z_i S^z_j> Wick contraction
+        eye = jnp.eye(N, dtype=G.dtype)
+        mz = nu - nd
+        corr = 0.25 * (jnp.outer(mz, mz)
+                       + (eye - Gu.T) * Gu + (eye - Gd.T) * Gd)
+        # translation average: c(d) = mean_i corr[i, i + d]
+        rows = jnp.arange(N)[None, :]
+        c_of_d = corr[rows, self.disp_idx].mean(axis=1)
+        s_af = self.stagger @ mm(corr, self.stagger[:, None])[:, 0] / N
+        return Observables(
+            occupancy=occ,
+            doubleOccupancy=docc,
+            kineticEnergy=e_kin,
+            potentialEnergy=e_pot,
+            totalEnergy=e_kin + e_pot,
+            sign=sign,
+            spinCorrelation=c_of_d,
+            spinStructureFactorAF=s_af,
+            acceptance=acc_rate,
+        )
+
+    # -- sweeps -----------------------------------------------------------------
+    def _sweep(self, state: WalkerState, up: bool, measure: bool):
+        """One full pass over all time slices (up: l=1..m, down: l=m..1),
+        consuming the opposite-direction UdV stack and emitting this
+        direction's (reference: sweepUp/sweepDown + advanceUp/DownGreen,
+        SURVEY.md §4.1)."""
+        cfg = self.cfg
+        K, s_int, N = cfg.n_stack, cfg.s, cfg.n_sites
+        dt = cfg.jdtype
+        cb = cfg.checkerboard
+
+        field, G, stack, key = state.field, state.G, state.stack, state.key
+        sign = state.sign
+        key, sweep_key = jax.random.split(key)
+        # one uniform vector per slice, drawn up front: (m, N)
+        u01 = jax.random.uniform(sweep_key, (cfg.m, N), dtype=dt)
+
+        eye_f = udv_eye(N, dt, batch_shape=(2,))
+
+        def interval(carry, xs):
+            G, lazy_U, d_c, V_c, field, sign, dev, acc_sum, obs_sum = carry
+            k, stack_entry = xs  # consumed opposite stack entry
+
+            def slice_step(c, l_rel):
+                G, lazy_U, field, sign, acc_sum = c
+                l = (k - 1) * s_int + 1 + l_rel if up else k * s_int - l_rel
+                fl = field[l - 1]
+                if up:
+                    e_old = self.exp_v(fl)
+                    G = self.wrap_up(G, e_old)
+                G, fl_new, sign, acc = self.update_slice(
+                    G, fl, u01[l - 1], sign)
+                field = field.at[l - 1].set(fl_new)
+                e_new = self.exp_v(fl_new)
+                if up:
+                    lazy_U = bchain.b_mult_left(self.prop, e_new, lazy_U,
+                                                checkerboard=cb)
+                else:
+                    lazy_U = bchain.bT_mult_left(self.prop, e_new, lazy_U,
+                                                 checkerboard=cb)
+                    G = self.wrap_down(G, e_new)
+                return (G, lazy_U, field, sign, acc_sum + acc), None
+
+            (G, lazy_U, field, sign, acc_sum), _ = jax.lax.scan(
+                slice_step, (G, lazy_U, field, sign, acc_sum),
+                jnp.arange(s_int))
+
+            # re-orthogonalize: C = (B-block applied to U) d -> QR
+            f_new_raw = udv_decompose(scale_cols(lazy_U, d_c))
+            f_new = UDV(f_new_raw.U, f_new_raw.d, mm(f_new_raw.V, V_c))
+            other = UDV(*stack_entry)
+            if up:
+                G_stab = green_from_two_udv(f_new, other)
+            else:
+                G_stab = green_from_two_udv(other, f_new)
+            dev = jnp.maximum(dev, jnp.abs(G - G_stab).max())
+            G = G_stab
+            if measure:
+                obs = self.measure_equal_time(G, jnp.zeros((), dt), sign)
+                obs_sum = jax.tree.map(jnp.add, obs_sum, obs)
+            carry = (G, f_new.U, f_new.d, f_new.V, field, sign,
+                     dev, acc_sum, obs_sum)
+            return carry, f_new
+
+        ks = jnp.arange(1, K + 1) if up else jnp.arange(K, 0, -1)
+        # consumed entries: up uses right entries k (k=1..K); down uses left
+        # entries k-1 (k=K..1)
+        consumed_idx = ks if up else ks - 1
+        consumed = jax.tree.map(lambda a: a[consumed_idx], stack)
+
+        zero_obs = jax.tree.map(
+            lambda a: jnp.zeros_like(a),
+            self.measure_equal_time(G, jnp.zeros((), dt)))
+        dev0 = jnp.zeros((), dt)
+        carry0 = (G, eye_f.U, eye_f.d, eye_f.V, field, sign, dev0,
+                  jnp.zeros((), dt), zero_obs)
+        (G, _, _, _, field, sign, dev, acc_sum, obs_sum), emitted = \
+            jax.lax.scan(interval, carry0, (ks, tuple(consumed)))
+
+        # assemble the new stack: emitted entries in slice positions
+        emit_idx = ks if up else ks - 1
+        id_idx = 0 if up else K
+        newU = jnp.zeros_like(stack.U).at[emit_idx].set(emitted.U)
+        newd = jnp.zeros_like(stack.d).at[emit_idx].set(emitted.d)
+        newV = jnp.zeros_like(stack.V).at[emit_idx].set(emitted.V)
+        newU = newU.at[id_idx].set(eye_f.U)
+        newd = newd.at[id_idx].set(eye_f.d)
+        newV = newV.at[id_idx].set(eye_f.V)
+
+        sv_max, sv_min = (jnp.log10(jnp.maximum(emitted.d, 1e-38)).max(),
+                          jnp.log10(jnp.maximum(emitted.d, 1e-38)).min())
+        new_state = WalkerState(
+            field=field, G=G,
+            stack=Stack(newU, newd, newV),
+            key=key,
+            sign=sign,
+            next_dir=jnp.asarray(1 if up else 0, jnp.int32),
+            sweeps_done=state.sweeps_done + 1,
+            green_dev=dev.astype(jnp.float32),
+            sv_min=sv_min.astype(jnp.float32),
+            sv_max=sv_max.astype(jnp.float32),
+        )
+        n_meas = jnp.asarray(K, dt)
+        obs_mean = jax.tree.map(lambda a: a / n_meas, obs_sum)
+        # acceptance is a whole-sweep average (per-slice rates summed over m)
+        obs_mean = obs_mean._replace(
+            acceptance=acc_sum / jnp.asarray(cfg.m, dt))
+        return new_state, obs_mean
+
+    def sweep_up(self, state, measure=False):
+        return self._sweep(state, up=True, measure=measure)
+
+    def sweep_down(self, state, measure=False):
+        return self._sweep(state, up=False, measure=measure)
+
+    def sweep_pair(self, state: WalkerState, measure: bool):
+        """Down+up pair = 2 reference sweeps; measurements averaged."""
+        state, obs1 = self._sweep(state, up=False, measure=measure)
+        state, obs2 = self._sweep(state, up=True, measure=measure)
+        obs = jax.tree.map(lambda a, b: 0.5 * (a + b), obs1, obs2)
+        return state, obs
+
+    # -- setup -------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> WalkerState:
+        """Random Hirsch field; build the right stack from scratch and the
+        stabilized G(0) (reference: setupUdVStorage..., SURVEY.md §3)."""
+        cfg = self.cfg
+        N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
+        dt = cfg.jdtype
+        key, fkey = jax.random.split(key)
+        field = (2.0 * jax.random.bernoulli(fkey, 0.5, (cfg.m, N)) - 1.0
+                 ).astype(dt)
+        state0 = WalkerState(
+            field=field, G=jnp.zeros((2, N, N), dt),
+            stack=Stack(U=jnp.zeros((K + 1, 2, N, N), dt),
+                        d=jnp.zeros((K + 1, 2, N), dt),
+                        V=jnp.zeros((K + 1, 2, N, N), dt)),
+            key=key,
+            sign=jnp.ones((), dt),
+            next_dir=jnp.asarray(0, jnp.int32),
+            sweeps_done=jnp.asarray(0, jnp.int32),
+            green_dev=jnp.zeros((), jnp.float32),
+            sv_min=jnp.zeros((), jnp.float32),
+            sv_max=jnp.zeros((), jnp.float32),
+        )
+        return self.refresh_from_field(state0)
+
+    def refresh_from_field(self, state: WalkerState) -> WalkerState:
+        """Recompute stack + G from the field alone (used by init and by
+        checkpoint restore — the reference also reconstructs G on load,
+        SURVEY.md §6 "Checkpoint / resume")."""
+        cfg = self.cfg
+        N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
+        dt = cfg.jdtype
+        cb = cfg.checkerboard
+        field = state.field
+        eye_f = udv_eye(N, dt, batch_shape=(2,))
+
+        def build_interval(f_carry, k):
+            # absorb block (B_{ks} .. B_{(k-1)s+1})^T in descending order
+            def absorb(lazy_U, l_rel):
+                l = k * s_int - l_rel
+                e = self.exp_v(field[l - 1])
+                return bchain.bT_mult_left(self.prop, e, lazy_U,
+                                           checkerboard=cb), None
+
+            lazy_U, _ = jax.lax.scan(absorb, f_carry.U, jnp.arange(s_int))
+            g = udv_decompose(scale_cols(lazy_U, f_carry.d))
+            f_new = UDV(g.U, g.d, mm(g.V, f_carry.V))
+            return f_new, f_new
+
+        _, emitted = jax.lax.scan(build_interval, eye_f,
+                                  jnp.arange(K, 0, -1))
+        # emitted entries correspond to positions K-1 .. 0
+        idx = jnp.arange(K - 1, -1, -1)
+        newU = jnp.zeros((K + 1, 2, N, N), dt).at[idx].set(emitted.U)
+        newd = jnp.zeros((K + 1, 2, N), dt).at[idx].set(emitted.d)
+        newV = jnp.zeros((K + 1, 2, N, N), dt).at[idx].set(emitted.V)
+        newU = newU.at[K].set(eye_f.U)
+        newd = newd.at[K].set(eye_f.d)
+        newV = newV.at[K].set(eye_f.V)
+        full_t = UDV(newU[0], newd[0], newV[0])
+        G = green_from_two_udv(udv_eye(N, dt, batch_shape=(2,)), full_t)
+        # exact weight sign from the factored chain: det(1 + A^T) = det(1+A)
+        _, sgns = log_det_one_plus_udv(full_t)
+        return state._replace(
+            G=G, stack=Stack(newU, newd, newV),
+            sign=(sgns[0] * sgns[1]).astype(dt),
+            next_dir=jnp.asarray(0, jnp.int32))
