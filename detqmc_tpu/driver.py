@@ -1,0 +1,223 @@
+"""Monte-Carlo driver: thermalize, sweep, measure, checkpoint, resume.
+
+Reference parity: SURVEY.md §3 row "MC driver" (DetQMC<Model>::run —
+thermalization, measurement sweeps every measureInterval, periodic
+saveState every saveInterval, wall-time budget awareness, resume, final
+results) and §4.1's call stack.
+
+TPU-first structure: the device program is a single jitted "block" — a
+``lax.scan`` over measurements, each measurement being ``measure_interval``
+sweep pairs — batched over vmapped walkers. The host loop only runs between
+blocks: observable accumulation, .series appends, checkpoints, wall-time
+checks. Device stays hot; host work is O(observables), not O(N^3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detqmc_tpu import checkpoint as ckpt_mod
+from detqmc_tpu.metadata import Metadata, write_metadata
+from detqmc_tpu.observables import ObservableHandler
+from detqmc_tpu.timing import timing
+
+
+@dataclasses.dataclass(frozen=True)
+class DriverConfig:
+    """Reference: DetQMCParams (SURVEY.md §3 "Config/flag system").
+
+    All sweep counts are in *sweep pairs* (one down+up pass = 2 reference
+    sweeps) so the compiled step is direction-free.
+    """
+
+    sweeps: int = 200              # production measurements... see below
+    thermalization: int = 100      # thermalization sweep pairs
+    measure_interval: int = 1      # sweep pairs between measurements
+    save_interval: int = 0         # measurements between checkpoints (0=off)
+    jk_blocks: int = 20
+    timeseries: bool = False
+    walltime_secs: float = 0.0     # 0 = unlimited (grantedWalltimeSecs)
+    outdir: Optional[str] = None
+    n_walkers: int = 1
+    seed: int = 0
+    block_meas: int = 25           # measurements per device block
+
+    @property
+    def n_measurements(self) -> int:
+        return self.sweeps // self.measure_interval
+
+
+class DetQMC:
+    """Owns model + walker states + observable handler (reference: DetQMC
+    owns model, RNG, handlers)."""
+
+    def __init__(self, model, params: DriverConfig,
+                 meta_extra: Optional[Metadata] = None):
+        self.model = model
+        self.p = params
+        self.meta = self._build_metadata(meta_extra or {})
+        self.handler = ObservableHandler(
+            outdir=params.outdir, jk_blocks=params.jk_blocks,
+            timeseries=params.timeseries, meta=self.meta)
+        self.measurements_done = 0
+        self.therm_done = 0
+        self._t_start = time.time()
+        self._stopped_early = False
+
+        # vmapped device programs, compiled lazily on first use
+        vm = jax.vmap
+        self._init_fn = jax.jit(vm(model.init_state))
+        self._refresh_fn = jax.jit(vm(model.refresh_from_field))
+
+        def therm_block(states, n_pairs):
+            def body(st, _):
+                st, _obs = model.sweep_pair(st, measure=False)
+                return st, None
+            states, _ = jax.lax.scan(body, states, None, length=n_pairs)
+            return states
+
+        def meas_block(states):
+            def one_measurement(st, _):
+                def pair(st2, _):
+                    st2, _o = model.sweep_pair(st2, measure=False)
+                    return st2, None
+                if params.measure_interval > 1:
+                    st, _ = jax.lax.scan(pair, st, None,
+                                         length=params.measure_interval - 1)
+                st, obs = model.sweep_pair(st, measure=True)
+                return st, obs
+            states, obs = jax.lax.scan(one_measurement, states, None,
+                                       length=params.block_meas)
+            return states, obs
+
+        self._therm_block = jax.jit(vm(therm_block, in_axes=(0, None)),
+                                    static_argnums=1)
+        self._meas_block = jax.jit(vm(meas_block))
+
+        self.states = None
+
+    # -- setup / resume -----------------------------------------------------
+    def _build_metadata(self, extra: Metadata) -> Metadata:
+        meta: Metadata = {}
+        for k, v in dataclasses.asdict(self.model.cfg).items():
+            meta[k] = str(v)
+        for k, v in dataclasses.asdict(self.p).items():
+            if k != "outdir":
+                meta[k] = str(v)
+        meta.update(extra)
+        return meta
+
+    @property
+    def _ckpt_path(self) -> Optional[str]:
+        if self.p.outdir is None:
+            return None
+        return f"{self.p.outdir}/state"
+
+    def init(self, resume: bool = True) -> None:
+        """Fresh start, or resume from a checkpoint in outdir (reference:
+        resume-from-state with G recomputed on load, SURVEY.md §6)."""
+        loaded = None
+        if resume and self._ckpt_path:
+            loaded = ckpt_mod.load_checkpoint(self._ckpt_path)
+        if loaded is None:
+            keys = jax.random.split(
+                jax.random.key(self.p.seed), self.p.n_walkers)
+            with timing("init"):
+                self.states = self._init_fn(keys)
+            return
+        arrays, handler_arrays, manifest = loaded
+        keys = jax.random.wrap_key_data(jnp.asarray(arrays["key"]))
+        blank = self._init_fn(jax.random.split(
+            jax.random.key(self.p.seed), self.p.n_walkers))
+        restored = blank._replace(
+            field=jnp.asarray(arrays["field"], blank.field.dtype),
+            key=keys,
+            sign=jnp.asarray(arrays["sign"], blank.sign.dtype),
+            next_dir=jnp.asarray(arrays["next_dir"]),
+            sweeps_done=jnp.asarray(arrays["sweeps_done"]),
+        )
+        self.states = self._refresh_fn(restored)
+        self.handler.load_state_dict(handler_arrays)
+        self.measurements_done = int(manifest.get("measurements_done", 0))
+        self.therm_done = int(manifest.get("therm_done", 0))
+
+    # -- wall-time ------------------------------------------------------------
+    def _out_of_time(self, margin: float = 0.0) -> bool:
+        if self.p.walltime_secs <= 0:
+            return False
+        return (time.time() - self._t_start + margin) >= self.p.walltime_secs
+
+    def save(self) -> None:
+        if self._ckpt_path is None:
+            return
+        manifest: Dict[str, Any] = {
+            "measurements_done": self.measurements_done,
+            "therm_done": self.therm_done,
+            "meta": self.meta,
+        }
+        with timing("saveState"):
+            ckpt_mod.save_checkpoint(self._ckpt_path, self.states,
+                                     self.handler.state_dict(), manifest)
+        if self.p.outdir:
+            info = dict(self.meta)
+            info["measurementsDone"] = str(self.measurements_done)
+            info["thermalizationDone"] = str(self.therm_done)
+            write_metadata(f"{self.p.outdir}/info.dat", info)
+
+    # -- main loop ---------------------------------------------------------------
+    def run(self) -> Dict[str, tuple]:
+        """Thermalize, then measure; returns jackknifed results.
+
+        Stops early (after a clean checkpoint) when the wall-time budget is
+        about to run out — the reference's batch-queue pattern."""
+        if self.states is None:
+            self.init()
+        # thermalization in blocks so walltime checks stay responsive
+        block = max(1, self.p.block_meas * self.p.measure_interval)
+        t_block = None
+        while self.therm_done < self.p.thermalization:
+            n = min(block, self.p.thermalization - self.therm_done)
+            with timing("thermalization"):
+                self.states = self._therm_block(self.states, n)
+                jax.block_until_ready(self.states.G)
+            self.therm_done += n
+            if self._out_of_time(margin=(t_block or 0.0)):
+                self.save()
+                self._stopped_early = True
+                return self.handler.results()
+
+        while self.measurements_done < self.p.n_measurements:
+            t0 = time.time()
+            with timing("measurement block"):
+                self.states, obs = self._meas_block(self.states)
+                jax.block_until_ready(self.states.G)
+            t_block = time.time() - t0
+            n_new = min(self.p.block_meas,
+                        self.p.n_measurements - self.measurements_done)
+            # device layout: (W, T, ...) -> handler wants (T, W, ...)
+            batch = {k: np.swapaxes(np.asarray(v), 0, 1)[:n_new]
+                     for k, v in obs._asdict().items()}
+            self.handler.insert_batch(batch)
+            self.measurements_done += n_new
+            if (self.p.save_interval and self.measurements_done %
+                    self.p.save_interval < self.p.block_meas):
+                self.save()
+            if self._out_of_time(margin=t_block):
+                self.save()
+                self._stopped_early = True
+                break
+
+        self.save()
+        if self.p.outdir:
+            self.handler.write_output()
+        return self.handler.results()
+
+    @property
+    def stopped_early(self) -> bool:
+        return self._stopped_early

@@ -445,9 +445,14 @@ class HubbardModel:
         return self._sweep(state, up=False, measure=measure)
 
     def sweep_pair(self, state: WalkerState, measure: bool):
-        """Down+up pair = 2 reference sweeps; measurements averaged."""
-        state, obs1 = self._sweep(state, up=False, measure=measure)
-        state, obs2 = self._sweep(state, up=True, measure=measure)
+        """Up+down pair = 2 reference sweeps; measurements averaged.
+
+        Up first: init_state / refresh_from_field leave a *right* stack
+        (next_dir = up), and after the down sweep the stack is right-handed
+        again — so pairs compose with init and with checkpoint restore.
+        """
+        state, obs1 = self._sweep(state, up=True, measure=measure)
+        state, obs2 = self._sweep(state, up=False, measure=measure)
         obs = jax.tree.map(lambda a, b: 0.5 * (a + b), obs1, obs2)
         return state, obs
 

@@ -175,67 +175,78 @@ def exact_free_green(K: np.ndarray, beta: float, mu: float = 0.0
     return (V * g) @ V.T
 
 
-def hubbard_ed_2site(t: float, U: float, mu: float, beta: float) -> dict:
-    """Exact diagonalization of the 2-site Hubbard model (16-dim Fock space)
-    for statistical end-to-end validation (SURVEY.md §5 implication (c)).
+def hubbard_ed(K: np.ndarray, U: float, mu: float, beta: float) -> dict:
+    """Exact diagonalization of the Hubbard model on an arbitrary small
+    hopping matrix K (4^N-dim Fock space; N <= 5 practical) — the
+    statistical end-to-end anchor (SURVEY.md §5 implication (c)).
 
-    H = -t sum_s (c+_0s c_1s + h.c.) + U sum_i (n_iu - .5)(n_id - .5)
+    H = sum_s sum_ij K_ij c+_is c_js + U sum_i (n_iu - .5)(n_id - .5)
         - mu sum_i n_i
+    Returns per-site occupancy, double occupancy, kinetic/potential/total
+    energy per site.
     """
-    import itertools
+    N = K.shape[0]
+    dim = 4 ** N
+    nbits = 2 * N  # up bits 0..N-1, down bits N..2N-1
 
-    # Fock basis: occupation (n0u, n1u, n0d, n1d); fermion ordering
-    # c0u, c1u, c0d, c1d (up block first).
-    states = list(itertools.product([0, 1], repeat=4))
-    dim = 16
+    def occ(state: int, mode: int) -> int:
+        return (state >> mode) & 1
+
+    def parity_between(state: int, a: int, b: int) -> int:
+        lo, hi = (a, b) if a < b else (b, a)
+        mask = ((1 << hi) - 1) ^ ((1 << (lo + 1)) - 1)
+        return bin(state & mask).count("1")
+
     H = np.zeros((dim, dim))
-
-    def idx(st):
-        return states.index(tuple(st))
-
-    def c_dag_c(st, a, b):
-        """<result| c+_a c_b |st> with Jordan-Wigner signs; returns
-        (new_state, amplitude) or None."""
-        st = list(st)
-        if st[b] == 0:
-            return None
-        sign = (-1) ** sum(st[:b])
-        st[b] = 0
-        if st[a] == 1:
-            return None
-        sign *= (-1) ** sum(st[:a])
-        st[a] = 1
-        return tuple(st), sign
-
-    for st in states:
-        j = idx(st)
-        n0u, n1u, n0d, n1d = st
-        H[j, j] += U * ((n0u - .5) * (n0d - .5) + (n1u - .5) * (n1d - .5))
-        H[j, j] += -mu * (n0u + n1u + n0d + n1d)
-        # hopping pairs (a, b): up: (0,1),(1,0); down: (2,3),(3,2)
-        for a, b in [(0, 1), (1, 0), (2, 3), (3, 2)]:
-            r = c_dag_c(st, a, b)
-            if r is not None:
-                H[idx(r[0]), j] += -t * r[1]
+    Ekin_op = np.zeros((dim, dim))
+    n_diag = np.zeros(dim)
+    docc_diag = np.zeros(dim)
+    for st in range(dim):
+        ntot = 0
+        dd = 0.0
+        epot = 0.0
+        for i in range(N):
+            nu_, nd_ = occ(st, i), occ(st, N + i)
+            ntot += nu_ + nd_
+            dd += nu_ * nd_
+            epot += U * (nu_ - 0.5) * (nd_ - 0.5)
+        n_diag[st] = ntot
+        docc_diag[st] = dd / N
+        H[st, st] += epot - mu * ntot
+        # hopping: c+_a c_b within each spin sector
+        for sigma in range(2):
+            off = sigma * N
+            for a in range(N):
+                for b in range(N):
+                    if a == b or K[a, b] == 0.0 or not occ(st, off + b):
+                        continue
+                    mid = st & ~(1 << (off + b))
+                    if occ(mid, off + a):
+                        continue
+                    new = mid | (1 << (off + a))
+                    sign = (-1) ** parity_between(st, off + a, off + b)
+                    amp = K[a, b] * sign
+                    H[new, st] += amp
+                    Ekin_op[new, st] += amp
 
     w, V = np.linalg.eigh(H)
-    w -= w.min()
-    rho = np.exp(-beta * w)
+    w0 = w.min()
+    rho = np.exp(-beta * (w - w0))
     Z = rho.sum()
 
-    def expect(op_diag_or_mat):
-        if op_diag_or_mat.ndim == 1:
-            Od = V.T @ np.diag(op_diag_or_mat) @ V
+    def expect(op) -> float:
+        if op.ndim == 1:
+            d = np.einsum("as,a,as->s", V, op, V)
         else:
-            Od = V.T @ op_diag_or_mat @ V
-        return (np.diag(Od) * rho).sum() / Z
+            d = np.einsum("as,ab,bs->s", V, op, V)
+        return float((d * rho).sum() / Z)
 
-    n_tot = np.array([sum(st) for st in states], dtype=float)
-    docc = np.array([st[0] * st[2] + st[1] * st[3] for st in states],
-                    dtype=float) / 2.0
-    e_tot = (np.diag(V.T @ H @ V) * rho).sum() / Z
+    e_tot = float((w * rho).sum() / Z) / N
+    e_kin = expect(Ekin_op) / N
     return {
-        "occupancy": expect(n_tot) / 2.0,
-        "doubleOccupancy": expect(docc),
-        "totalEnergy": e_tot / 2.0,  # per site
+        "occupancy": expect(n_diag) / N,
+        "doubleOccupancy": expect(docc_diag),
+        "kineticEnergy": e_kin,
+        "totalEnergy": e_tot + mu * expect(n_diag) / N,
+        "potentialEnergy": e_tot + mu * expect(n_diag) / N - e_kin,
     }
