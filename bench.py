@@ -1,0 +1,73 @@
+"""Headline benchmark: DQMC sweeps/sec/chip, 8x8 Hubbard at beta=8.
+
+Matches BASELINE.md's driver-defined target: full sweep pairs (up+down,
+every site Metropolis-updated, QR/UdV stabilization every s slices,
+measurements on) batched over vmapped walkers on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sweeps/sec/chip, "unit": "sweeps/s",
+   "vs_baseline": value / single-core-C++-equivalent}
+
+The baseline denominator is the single-core fp64 CPU implementation in
+native/baseline (same algorithm: dense wraps, rank-1 SM updates, QR
+stabilization), measured on this machine — see BASELINE.md. A sweep here
+= one full pass over all m time slices (reference semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+
+# single-core C++ baseline (native/baseline/dqmc_baseline.cpp) measured on
+# this machine; see BASELINE.md "Measured baseline denominator".
+BASELINE_SWEEPS_PER_SEC = 25.5
+
+L, BETA, M, S = 8, 8.0, 80, 4
+N_WALKERS = 64
+N_TIMED_PAIRS = 10
+
+
+def main() -> None:
+    cfg = HubbardConfig(L=L, U=4.0, beta=BETA, m=M, s=S, dtype="float32")
+    model = HubbardModel(cfg)
+    keys = jax.random.split(jax.random.key(0), N_WALKERS)
+    states = jax.jit(jax.vmap(model.init_state))(keys)
+
+    def block(sts):
+        def body(s_, _):
+            s_, obs = model.sweep_pair(s_, measure=True)
+            return s_, obs.occupancy
+        sts, occ = jax.lax.scan(body, sts, None, length=N_TIMED_PAIRS)
+        return sts, occ
+
+    step = jax.jit(jax.vmap(block))
+    states, occ = jax.block_until_ready(step(states))  # compile + warmup
+
+    t0 = time.perf_counter()
+    states, occ = jax.block_until_ready(step(states))
+    dt = time.perf_counter() - t0
+
+    sweeps = N_WALKERS * N_TIMED_PAIRS * 2  # pair = 2 sweeps
+    value = sweeps / dt
+    # sanity: physics must hold or the number is meaningless
+    occ_mean = float(np.asarray(occ).mean())
+    assert abs(occ_mean - 1.0) < 1e-3, f"unphysical occupancy {occ_mean}"
+    dev = float(np.asarray(states.green_dev).max())
+    assert dev < 5e-2, f"stabilization broken: green_dev={dev}"
+
+    print(json.dumps({
+        "metric": f"hubbard_L{L}_beta{int(BETA)}_sweeps_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "sweeps/s",
+        "vs_baseline": round(value / BASELINE_SWEEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

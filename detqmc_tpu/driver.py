@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from detqmc_tpu import checkpoint as ckpt_mod
+from detqmc_tpu import compile_cache
 from detqmc_tpu.metadata import Metadata, write_metadata
 from detqmc_tpu.observables import ObservableHandler
 from detqmc_tpu.timing import timing
@@ -59,6 +60,7 @@ class DetQMC:
 
     def __init__(self, model, params: DriverConfig,
                  meta_extra: Optional[Metadata] = None):
+        compile_cache.enable()
         self.model = model
         self.p = params
         self.meta = self._build_metadata(meta_extra or {})
@@ -130,6 +132,14 @@ class DetQMC:
                 jax.random.key(self.p.seed), self.p.n_walkers)
             with timing("init"):
                 self.states = self._init_fn(keys)
+            # f64-on-TPU cannot compute determinant signs in-graph (no LU,
+            # no host callbacks); fix the initial sign host-side when the
+            # model has a sign problem (mu != 0 etc.)
+            if (getattr(self.model, "host_chain_sign", None) is not None
+                    and getattr(self.model.cfg, "mu", 0.0) != 0.0):
+                sgn = self.model.host_chain_sign(self.states)
+                self.states = self.states._replace(
+                    sign=jnp.asarray(sgn, self.states.sign.dtype))
             return
         arrays, handler_arrays, manifest = loaded
         keys = jax.random.wrap_key_data(jnp.asarray(arrays["key"]))

@@ -71,6 +71,45 @@ def udv_decompose(A: jax.Array) -> UDV:
     return UDV(U=U, d=d, V=V)
 
 
+def udv_refactor(M: jax.Array, d: jax.Array, V: jax.Array,
+                 compose_dtype=None) -> UDV:
+    """UdV of (M @ diag(d) @ V) for well-conditioned M and positive d.
+
+    Key trick: QR commutes with positive column scaling —
+    Q(M diag(d)) == Q(M) and R(M diag(d)) == R(M) diag(d) — so we QR the
+    *unscaled* M (column norms O(1); a direct QR of M diag(d) overflows
+    fp32 column-norm accumulation once d spans ~1e20, which happens at
+    beta >~ 6 on the TPU). The d and V compositions then happen in the log
+    domain:
+        M diag(d) = U_g diag(g_d) V_g diag(d)
+                  = U_g diag(g_d * d) [V_g o (d_k / d_j)]        (j <= k)
+    with the d-ratio evaluated as exp(log d_k - log d_j) and masked to the
+    upper triangle (V_g is unit-diagonal upper triangular).
+
+    ``compose_dtype``: precision for the d/V accumulation across the whole
+    chain. The QR itself sees only one well-conditioned interval block, so
+    it can stay in the run dtype; but d spans e^{+-beta W} and V
+    accumulates multiplicatively over the chain — composing those in fp32
+    limits the stabilized G to ~1e-3 at beta=8. Passing float64 here keeps
+    the *accumulated* factors accurate with no f64 QR anywhere (U stays in
+    the run dtype: it is orthogonal and carries no scale).
+    """
+    g = udv_decompose(M)
+    cdt = compose_dtype or d.dtype
+    rdt = jnp.finfo(cdt).dtype
+    d = d.astype(rdt)
+    d_new = g.d.astype(rdt) * d
+    tiny = jnp.finfo(rdt).tiny
+    logd = jnp.log(jnp.maximum(d, tiny))
+    n = M.shape[-1]
+    upper = jnp.triu(jnp.ones((n, n), dtype=bool))
+    ratio = jnp.where(upper,
+                      jnp.exp(logd[..., None, :] - logd[..., :, None]),
+                      0.0)
+    Vb = g.V.astype(cdt) * ratio.astype(cdt)
+    return UDV(U=g.U, d=d_new, V=mm(Vb, V.astype(cdt)))
+
+
 def udv_multiply_left(B: jax.Array, f: UDV) -> UDV:
     """UdV of (B @ U d V): refactor (B U) d, accumulate V.
 
@@ -78,9 +117,7 @@ def udv_multiply_left(B: jax.Array, f: UDV) -> UDV:
     computed block of B matrices on the left (time grows leftward in
     B_m ... B_1). For the transposed right stack, pass B^H of the new block.
     """
-    C = scale_cols(mm(B, f.U), f.d)
-    g = udv_decompose(C)
-    return UDV(U=g.U, d=g.d, V=mm(g.V, f.V))
+    return udv_refactor(mm(B, f.U), f.d, f.V)
 
 
 def udv_eye(n: int, dtype, batch_shape=()) -> UDV:
@@ -90,7 +127,8 @@ def udv_eye(n: int, dtype, batch_shape=()) -> UDV:
     return UDV(U=eye, d=one, V=eye)
 
 
-def green_from_two_udv(left: UDV, right_t: UDV) -> jax.Array:
+def green_from_two_udv(left: UDV, right_t: UDV,
+                       compute_dtype=None) -> jax.Array:
     """Stable G(l) = (1 + B_{<=l} B_{>l})^{-1} from factored halves.
 
     left    straight UdV of B_l ... B_1            (= U1 d1 V1)
@@ -101,10 +139,23 @@ def green_from_two_udv(left: UDV, right_t: UDV) -> jax.Array:
              + d1min (V1 V2^H) d2min) d2max ]^{-1} U1^H
 
     where dmax = max(d, 1), dmin = min(d, 1) bound every formed product's
-    dynamic range (essential in fp32). Only the inner re-UdV's V' is
-    triangular-solved; all other inverses are unitary transposes.
+    dynamic range. Only the inner re-UdV's V' is triangular-solved; all
+    other inverses are unitary transposes.
     (Reference parity: greenFromUdV / advanceUp(Down)Green, SURVEY.md §9.)
+
+    ``compute_dtype``: precision island for the inner combine/QR/solve.
+    The inner matrix's condition grows like exp(beta * W), so fp32 drowns
+    past beta ~ 4-5; passing float64 here (TPU: emulated, but only ~7
+    matmul-equivalents per call) restores dev ~ 1e-7 while the rest of the
+    sweep stays fp32 on the MXU. Inputs are upcast, G is cast back.
     """
+    out_dtype = left.U.dtype
+    if compute_dtype is not None and compute_dtype != out_dtype:
+        cast = lambda a: a.astype(compute_dtype)  # noqa: E731
+        left = UDV(cast(left.U), left.d.astype(
+            jnp.finfo(compute_dtype).dtype), cast(left.V))
+        right_t = UDV(cast(right_t.U), right_t.d.astype(
+            jnp.finfo(compute_dtype).dtype), cast(right_t.V))
     d1 = left.d.astype(left.U.real.dtype)
     d2 = right_t.d.astype(left.U.real.dtype)
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
@@ -117,8 +168,11 @@ def green_from_two_udv(left: UDV, right_t: UDV) -> jax.Array:
     # G = U2 d2max^{-1} V'^{-1} d'^{-1} U'^H d1max^{-1} U1^H
     rhs = scale_rows(1.0 / g.d.astype(d1.dtype),
                      scale_cols(_H(g.U), 1.0 / d1max))
-    mid = jnp.linalg.solve(g.V, rhs.astype(g.V.dtype))
-    return mm(scale_cols(right_t.U, 1.0 / d2max), mm(mid, _H(left.U)))
+    # g.V is unit-diagonal upper triangular by construction
+    mid = jax.lax.linalg.triangular_solve(
+        g.V, rhs.astype(g.V.dtype), left_side=True, lower=False)
+    G = mm(scale_cols(right_t.U, 1.0 / d2max), mm(mid, _H(left.U)))
+    return G.astype(out_dtype)
 
 
 def green_from_udv(f: UDV) -> jax.Array:

@@ -43,10 +43,10 @@ from detqmc_tpu.linalg.udv import (
     UDV,
     green_from_two_udv,
     log_det_one_plus_udv,
-    udv_decompose,
     udv_eye,
+    udv_refactor,
 )
-from detqmc_tpu.precision import mm, scale_cols
+from detqmc_tpu.precision import mm
 
 SPIN_SIGN = np.array([+1.0, -1.0])  # component axis: [up, down]
 
@@ -69,7 +69,14 @@ class HubbardConfig:
     s: int = 8                  # stabilization interval (slices per UdV)
     checkerboard: bool = False
     delay: int = 0              # 0 = plain rank-1 SM updates; k>0 = delayed
+    # "auto": fused Pallas slice kernel on TPU (f32), lax.scan elsewhere;
+    # "scan" / "pallas" force a path (pallas requires float32)
+    update_kernel: str = "auto"
     dtype: str = "float32"
+    # precision island for the stabilized G recompute; "auto" = float64
+    # when dtype is float32 (the inner matrix's condition ~ e^{beta W}
+    # exceeds fp32 past beta ~ 4; see linalg/udv.green_from_two_udv)
+    stab_dtype: str = "auto"
 
     def __post_init__(self):
         if self.m % self.s != 0:
@@ -98,6 +105,13 @@ class HubbardConfig:
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def stab_jdtype(self):
+        if self.stab_dtype == "auto":
+            return jnp.dtype("float64") if self.dtype == "float32" \
+                else jnp.dtype(self.dtype)
+        return jnp.dtype(self.stab_dtype)
 
 
 class Stack(NamedTuple):
@@ -153,6 +167,19 @@ class HubbardModel:
     def __init__(self, cfg: HubbardConfig):
         self.cfg = cfg
         self.lat = lattice_mod.SquareLattice(cfg.L)
+        if (cfg.stab_jdtype == jnp.dtype("float64")
+                and not jax.config.jax_enable_x64):
+            # the stabilization precision island needs real f64 arrays;
+            # all other state carries explicit f32 dtypes so this does not
+            # change the hot path
+            jax.config.update("jax_enable_x64", True)
+        if jax.config.jax_default_matmul_precision is None:
+            # jnp.linalg.qr's internal matmuls honor the global default,
+            # which is bf16 on TPU — catastrophic for stabilization QRs
+            # (reconstruction error 1.6e-2 vs 2.7e-6 at 64x64 f32). Our own
+            # contractions pass HIGHEST explicitly; this covers library
+            # internals.
+            jax.config.update("jax_default_matmul_precision", "highest")
         dt = cfg.jdtype
         self.prop = bchain.make_propagators(
             self.lat, cfg.t, cfg.dtau, cfg.mu, dtype=dt,
@@ -170,7 +197,33 @@ class HubbardModel:
             jnp.int32)
         # (-1)^(x+y) staggering for the AF structure factor
         self.stagger = jnp.asarray((-1.0) ** (x + y), dt)
+        # fused Pallas Metropolis kernel: TPU + f32 only (Mosaic has no
+        # 64-bit lowering); CPU uses the identical-semantics lax.scan path
+        if cfg.update_kernel == "auto":
+            self._use_pallas = (jax.default_backend() == "tpu"
+                                and dt == jnp.dtype("float32"))
+            self._pallas_interpret = False
+        elif cfg.update_kernel == "pallas":
+            if dt != jnp.dtype("float32"):
+                raise ValueError("update_kernel='pallas' requires float32")
+            self._use_pallas = True
+            self._pallas_interpret = jax.default_backend() != "tpu"
+        elif cfg.update_kernel == "scan":
+            self._use_pallas = False
+            self._pallas_interpret = False
+        else:
+            raise ValueError(f"unknown update_kernel {cfg.update_kernel!r}")
         self._jit_cache = {}
+
+    def _eye_mixed(self):
+        """Identity UdV with U in run dtype and d/V in the stab island
+        dtype (the stack layout: U carries no scale, d/V carry the chain's
+        dynamic range — see linalg.udv.udv_refactor)."""
+        N, dt, sdt = self.cfg.n_sites, self.cfg.jdtype, self.cfg.stab_jdtype
+        eye_dt = jnp.broadcast_to(jnp.eye(N, dtype=dt), (2, N, N))
+        eye_sdt = jnp.broadcast_to(jnp.eye(N, dtype=sdt), (2, N, N))
+        d = jnp.ones((2, N), jnp.finfo(sdt).dtype)
+        return UDV(eye_dt, d, eye_sdt)
 
     # -- potential diagonals ------------------------------------------------
     def exp_v(self, field_slice: jax.Array) -> jax.Array:
@@ -269,6 +322,12 @@ class HubbardModel:
     def update_slice(self, G, field_l, u01, sign=None):
         if sign is None:
             sign = jnp.ones((), self.cfg.jdtype)
+        if self._use_pallas:
+            from detqmc_tpu.linalg import pallas_update
+
+            return pallas_update.slice_update(
+                G, field_l, u01, sign, alpha=self.cfg.alpha,
+                interpret=self._pallas_interpret)
         if self.cfg.delay > 0:
             return self._update_slice_delayed(G, field_l, u01, sign)
         return self._update_slice(G, field_l, u01, sign)
@@ -338,6 +397,7 @@ class HubbardModel:
         cfg = self.cfg
         K, s_int, N = cfg.n_stack, cfg.s, cfg.n_sites
         dt = cfg.jdtype
+        sdt = cfg.stab_jdtype  # stack/stabilization precision island
         cb = cfg.checkerboard
 
         field, G, stack, key = state.field, state.G, state.stack, state.key
@@ -346,7 +406,7 @@ class HubbardModel:
         # one uniform vector per slice, drawn up front: (m, N)
         u01 = jax.random.uniform(sweep_key, (cfg.m, N), dtype=dt)
 
-        eye_f = udv_eye(N, dt, batch_shape=(2,))
+        eye_f = self._eye_mixed()
 
         def interval(carry, xs):
             G, lazy_U, d_c, V_c, field, sign, dev, acc_sum, obs_sum = carry
@@ -376,14 +436,16 @@ class HubbardModel:
                 slice_step, (G, lazy_U, field, sign, acc_sum),
                 jnp.arange(s_int))
 
-            # re-orthogonalize: C = (B-block applied to U) d -> QR
-            f_new_raw = udv_decompose(scale_cols(lazy_U, d_c))
-            f_new = UDV(f_new_raw.U, f_new_raw.d, mm(f_new_raw.V, V_c))
+            # re-orthogonalize: factor (B-block @ U) diag(d) V (scaled QR).
+            # lazy_U absorbed B's in run dtype (cond per interval is small);
+            # the QR + composition + stored stack live in the precision
+            # island so full-chain scales keep their relative accuracy.
+            f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
             other = UDV(*stack_entry)
             if up:
-                G_stab = green_from_two_udv(f_new, other)
+                G_stab = green_from_two_udv(f_new, other, compute_dtype=sdt)
             else:
-                G_stab = green_from_two_udv(other, f_new)
+                G_stab = green_from_two_udv(other, f_new, compute_dtype=sdt)
             dev = jnp.maximum(dev, jnp.abs(G - G_stab).max())
             G = G_stab
             if measure:
@@ -408,15 +470,18 @@ class HubbardModel:
         (G, _, _, _, field, sign, dev, acc_sum, obs_sum), emitted = \
             jax.lax.scan(interval, carry0, (ks, tuple(consumed)))
 
-        # assemble the new stack: emitted entries in slice positions
-        emit_idx = ks if up else ks - 1
-        id_idx = 0 if up else K
-        newU = jnp.zeros_like(stack.U).at[emit_idx].set(emitted.U)
-        newd = jnp.zeros_like(stack.d).at[emit_idx].set(emitted.d)
-        newV = jnp.zeros_like(stack.V).at[emit_idx].set(emitted.V)
-        newU = newU.at[id_idx].set(eye_f.U)
-        newd = newd.at[id_idx].set(eye_f.d)
-        newV = newV.at[id_idx].set(eye_f.V)
+        # assemble the new stack by concatenation (an .at[idx].set scatter
+        # on the (K+1, 2, N, N) storage needs >VMEM scoped scratch once
+        # vmapped over walkers)
+        def assemble(entries, eye_leaf):
+            if up:  # emitted positions 1..K in scan order
+                return jnp.concatenate([eye_leaf[None], entries], axis=0)
+            # down: emitted positions K-1..0 in scan order
+            return jnp.concatenate([jnp.flip(entries, axis=0),
+                                    eye_leaf[None]], axis=0)
+        newU = assemble(emitted.U, eye_f.U.astype(emitted.U.dtype))
+        newd = assemble(emitted.d, eye_f.d)
+        newV = assemble(emitted.V, eye_f.V)
 
         sv_max, sv_min = (jnp.log10(jnp.maximum(emitted.d, 1e-38)).max(),
                           jnp.log10(jnp.maximum(emitted.d, 1e-38)).min())
@@ -466,11 +531,13 @@ class HubbardModel:
         key, fkey = jax.random.split(key)
         field = (2.0 * jax.random.bernoulli(fkey, 0.5, (cfg.m, N)) - 1.0
                  ).astype(dt)
+        sdt = cfg.stab_jdtype
+        rsdt = jnp.finfo(sdt).dtype
         state0 = WalkerState(
             field=field, G=jnp.zeros((2, N, N), dt),
             stack=Stack(U=jnp.zeros((K + 1, 2, N, N), dt),
-                        d=jnp.zeros((K + 1, 2, N), dt),
-                        V=jnp.zeros((K + 1, 2, N, N), dt)),
+                        d=jnp.zeros((K + 1, 2, N), rsdt),
+                        V=jnp.zeros((K + 1, 2, N, N), sdt)),
             key=key,
             sign=jnp.ones((), dt),
             next_dir=jnp.asarray(0, jnp.int32),
@@ -488,9 +555,11 @@ class HubbardModel:
         cfg = self.cfg
         N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
         dt = cfg.jdtype
+        sdt = cfg.stab_jdtype
         cb = cfg.checkerboard
         field = state.field
-        eye_f = udv_eye(N, dt, batch_shape=(2,))
+        eye_f = self._eye_mixed()
+        rsdt = jnp.finfo(sdt).dtype
 
         def build_interval(f_carry, k):
             # absorb block (B_{ks} .. B_{(k-1)s+1})^T in descending order
@@ -500,26 +569,70 @@ class HubbardModel:
                 return bchain.bT_mult_left(self.prop, e, lazy_U,
                                            checkerboard=cb), None
 
-            lazy_U, _ = jax.lax.scan(absorb, f_carry.U, jnp.arange(s_int))
-            g = udv_decompose(scale_cols(lazy_U, f_carry.d))
-            f_new = UDV(g.U, g.d, mm(g.V, f_carry.V))
+            lazy_U, _ = jax.lax.scan(absorb, f_carry.U,
+                                     jnp.arange(s_int))
+            f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
+                                 compose_dtype=sdt)
             return f_new, f_new
 
         _, emitted = jax.lax.scan(build_interval, eye_f,
                                   jnp.arange(K, 0, -1))
-        # emitted entries correspond to positions K-1 .. 0
-        idx = jnp.arange(K - 1, -1, -1)
-        newU = jnp.zeros((K + 1, 2, N, N), dt).at[idx].set(emitted.U)
-        newd = jnp.zeros((K + 1, 2, N), dt).at[idx].set(emitted.d)
-        newV = jnp.zeros((K + 1, 2, N, N), dt).at[idx].set(emitted.V)
-        newU = newU.at[K].set(eye_f.U)
-        newd = newd.at[K].set(eye_f.d)
-        newV = newV.at[K].set(eye_f.V)
+        # emitted entries correspond to positions K-1 .. 0: flip + append
+        # identity (concat, not scatter — see _sweep)
+        newU = jnp.concatenate(
+            [jnp.flip(emitted.U, axis=0), eye_f.U[None].astype(dt)], axis=0)
+        newd = jnp.concatenate(
+            [jnp.flip(emitted.d, axis=0), eye_f.d[None]], axis=0)
+        newV = jnp.concatenate(
+            [jnp.flip(emitted.V, axis=0), eye_f.V[None]], axis=0)
         full_t = UDV(newU[0], newd[0], newV[0])
-        G = green_from_two_udv(udv_eye(N, dt, batch_shape=(2,)), full_t)
+        G = green_from_two_udv(udv_eye(N, dt, batch_shape=(2,)), full_t,
+                               compute_dtype=sdt)
         # exact weight sign from the factored chain: det(1 + A^T) = det(1+A)
-        _, sgns = log_det_one_plus_udv(full_t)
+        sign = self._chain_sign(full_t).astype(dt)
         return state._replace(
             G=G, stack=Stack(newU, newd, newV),
-            sign=(sgns[0] * sgns[1]).astype(dt),
+            sign=sign,
             next_dir=jnp.asarray(0, jnp.int32))
+
+    def _chain_sign(self, full_t: UDV) -> jax.Array:
+        """sign(prod_sigma det(1 + B-chain)) from the factored chain.
+
+        TPU's XLA only implements LU decomposition (slogdet/solve) for
+        f32, and the axon runtime has no host callbacks — so on TPU the
+        signs are evaluated from an f32 cast of the factored chain (exact
+        for the sign-free half-filled model; the driver additionally
+        corrects it host-side at init for sign-problem runs via
+        ``host_chain_sign``). Ratio-sign tracking during sweeps is exact
+        in all configurations."""
+        if jax.default_backend() == "tpu":
+            full_t = UDV(full_t.U.astype(jnp.float32),
+                         full_t.d.astype(jnp.float32),
+                         full_t.V.astype(jnp.float32))
+        _, sgns = log_det_one_plus_udv(full_t)
+        return sgns[0] * sgns[1]
+
+    def host_chain_sign(self, states) -> np.ndarray:
+        """NumPy f64 determinant signs from (possibly vmapped) state stacks
+        — used by the driver at init when in-graph LU is unavailable."""
+        U = np.asarray(states.stack.U)   # (..., K+1, 2, N, N)
+        d = np.asarray(states.stack.d)
+        V = np.asarray(states.stack.V)
+        batch = U.shape[:-4]
+        out = np.ones(batch or ())
+        for idx in np.ndindex(batch) if batch else [()]:
+            s = 1.0
+            for c in range(2):
+                Uc, dc, Vc = U[idx][0][c], d[idx][0][c], V[idx][0][c]
+                sU, _ = np.linalg.slogdet(Uc)
+                sV, _ = np.linalg.slogdet(Vc)
+                dmax, dmin = np.maximum(dc, 1), np.minimum(dc, 1)
+                inner = (Uc.T @ np.linalg.inv(Vc)) / dmax[:, None] \
+                    + np.diag(dmin)
+                sI, _ = np.linalg.slogdet(inner)
+                s *= sU * sV * sI
+            if batch:
+                out[idx] = s
+            else:
+                out = np.asarray(s)
+        return out
