@@ -175,6 +175,39 @@ def green_from_two_udv(left: UDV, right_t: UDV,
     return G.astype(out_dtype)
 
 
+def green_from_two_udv_df32(left: UDV, right_t: UDV,
+                            interpret: bool = False) -> jax.Array:
+    """Same math as green_from_two_udv, but the ill-conditioned inner
+    factorization runs in the df32 Pallas kernel (pallas_green.py) instead
+    of XLA's f64-emulated QR (~90 ms latency per call on TPU).
+
+    Inputs follow the hybrid stack layout: U in f32, d/V in f64. The inner
+    matrix is assembled in f64 XLA (cheap elementwise work), split into f32
+    (hi, lo) pairs for the kernel, and the O(1)-conditioned outer matmuls
+    stay plain f32 on the MXU. Output: f32 G.
+    """
+    from detqmc_tpu.linalg import df32 as _df
+    from detqmc_tpu.linalg.pallas_green import solve_inner
+
+    f64 = jnp.float64
+    f32 = jnp.float32
+    U1 = left.U.astype(f32)
+    U2 = right_t.U.astype(f32)
+    d1 = left.d.astype(f64)
+    d2 = right_t.d.astype(f64)
+    d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
+    d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
+    UhU = mm(_H(U1), U2).astype(f64)
+    VVh = mm(left.V.astype(f64), _H(right_t.V.astype(f64)))
+    inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
+             + scale_cols(scale_rows(d1min, VVh), d2min))
+    hi, lo = _df.from_f64(inner)
+    r1 = (1.0 / d1max).astype(f32)
+    mid = solve_inner(hi, lo, r1, interpret=interpret)
+    r2 = (1.0 / d2max).astype(f32)
+    return mm(scale_cols(U2, r2), mm(mid, _H(U1)))
+
+
 def green_from_udv(f: UDV) -> jax.Array:
     """Stable G = (1 + U d V)^{-1} for a straight full-chain factorization
     (used at sweep boundaries and after global moves).

@@ -72,6 +72,10 @@ class HubbardConfig:
     # "auto": fused Pallas slice kernel on TPU (f32), lax.scan elsewhere;
     # "scan" / "pallas" force a path (pallas requires float32)
     update_kernel: str = "auto"
+    # "auto": df32 Pallas stabilization kernel on TPU when the f64 island
+    # is active (XLA's emulated-f64 QR has ~90ms latency); "xla" forces
+    # the XLA path; "pallas" forces the kernel (interpret mode off-TPU)
+    green_kernel: str = "auto"
     dtype: str = "float32"
     # precision island for the stabilized G recompute; "auto" = float64
     # when dtype is float32 (the inner matrix's condition ~ e^{beta W}
@@ -213,7 +217,32 @@ class HubbardModel:
             self._pallas_interpret = False
         else:
             raise ValueError(f"unknown update_kernel {cfg.update_kernel!r}")
+        # df32 stabilization kernel selection
+        island = cfg.stab_jdtype != cfg.jdtype
+        if cfg.green_kernel == "auto":
+            self._green_pallas = (jax.default_backend() == "tpu" and island
+                                  and dt == jnp.dtype("float32"))
+            self._green_interpret = False
+        elif cfg.green_kernel == "pallas":
+            self._green_pallas = True
+            self._green_interpret = jax.default_backend() != "tpu"
+        elif cfg.green_kernel == "xla":
+            self._green_pallas = False
+            self._green_interpret = False
+        else:
+            raise ValueError(f"unknown green_kernel {cfg.green_kernel!r}")
         self._jit_cache = {}
+
+    def _green(self, left: UDV, right_t: UDV) -> jax.Array:
+        """Stabilized G from factored halves, on the fastest valid path."""
+        if self._green_pallas:
+            from detqmc_tpu.linalg.udv import green_from_two_udv_df32
+
+            return green_from_two_udv_df32(
+                left, right_t, interpret=self._green_interpret)
+        return green_from_two_udv(
+            left, right_t, compute_dtype=self.cfg.stab_jdtype
+        ).astype(self.cfg.jdtype)
 
     def _eye_mixed(self):
         """Identity UdV with U in run dtype and d/V in the stab island
@@ -443,9 +472,9 @@ class HubbardModel:
             f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
             other = UDV(*stack_entry)
             if up:
-                G_stab = green_from_two_udv(f_new, other, compute_dtype=sdt)
+                G_stab = self._green(f_new, other)
             else:
-                G_stab = green_from_two_udv(other, f_new, compute_dtype=sdt)
+                G_stab = self._green(other, f_new)
             dev = jnp.maximum(dev, jnp.abs(G - G_stab).max())
             G = G_stab
             if measure:
@@ -586,8 +615,7 @@ class HubbardModel:
         newV = jnp.concatenate(
             [jnp.flip(emitted.V, axis=0), eye_f.V[None]], axis=0)
         full_t = UDV(newU[0], newd[0], newV[0])
-        G = green_from_two_udv(udv_eye(N, dt, batch_shape=(2,)), full_t,
-                               compute_dtype=sdt)
+        G = self._green(self._eye_mixed(), full_t)
         # exact weight sign from the factored chain: det(1 + A^T) = det(1+A)
         sign = self._chain_sign(full_t).astype(dt)
         return state._replace(

@@ -1,0 +1,653 @@
+"""O(N) spin-density-wave metal model — BSS DQMC, TPU-native.
+
+Reference parity: SURVEY.md §3 row "SDW model" (DetSDW<CB, OPDIM>:
+O(opdim in {1,2,3}) order-parameter field phi(i, l) Yukawa-coupled to two
+fermion bands; analytic per-site exp(-dtau V(phi)); box proposals with
+adaptive width; Woodbury rank-k Green updates; global shift moves;
+turnoffFermions mode; control parameter r settable for parallel
+tempering) and §9's algorithm appendix.
+
+Model (Schattner-Gerlach-Trebst-Berg; PRB 95, 035124 (2017)):
+
+  S = S_B[phi] + fermion determinant, with per time slice
+  B_l = exp(-dtau V(phi_l)) exp(-dtau K),
+  V_i = lam [[0, Phi_i], [Phi_i^H, 0]] in the (x_up, x_dn, y_up, y_dn)
+  orbital basis, Phi = phi . sigma (first `opdim` Pauli matrices), so
+  V^2 = (lam |phi|)^2 and exp(-dtau V) is closed-form:
+      exp(-dtau V) = cosh(a) 1 - sinh(a)/(lam|phi|) V,  a = dtau lam |phi|.
+
+  S_B = dtau sum_{i,l} [ (phi_{i,l+1}-phi_{i,l})^2 / (2 c^2 dtau^2)
+        + (1/2) sum_nn (phi_i - phi_j)^2 + (r/2) phi^2 + (u/4) (phi^2)^2 ]
+
+TPU-first design mirrors models/hubbard.py: the sweep is nested lax.scans
+over (stabilization intervals, slices, sites); the fermion matrix is
+(4N, 4N) complex64/128 with orbital-major layout so the block-diagonal
+potential applies as an (N, 4, 4) batched matmul and the kinetic factor
+as a (4, N, N) batched matmul; walkers vmap on top. The same UdV stack
+machinery (transposed right products, log-domain refactor, range-split
+pair formula) stabilizes the chain — it is dtype-generic and handles the
+complex case. Single-site Metropolis uses the exact 4x4-block determinant
+ratio and a rank-4 Woodbury update of G.
+
+Where Hubbard has two decoupled spin sectors, here there is ONE fermion
+matrix; the weight is det M, guaranteed non-negative for opdim 2, 3 by
+the model's antiunitary symmetry (tracked anyway via phases).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detqmc_tpu import lattice as lattice_mod
+from detqmc_tpu.lattice import kinetic_exponentials
+from detqmc_tpu.linalg.udv import (
+    UDV,
+    green_from_two_udv,
+    udv_eye,
+    udv_refactor,
+)
+from detqmc_tpu.precision import mm
+
+N_ORB = 4  # (band x, band y) x (spin up, spin dn)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDWConfig:
+    """Static parameters (reference: ModelParams<DetSDW>, SURVEY.md §3)."""
+
+    L: int = 4
+    opdim: int = 2              # O(1) / O(2) / O(3) order parameter
+    r: float = 0.0              # tuning parameter (PT control parameter)
+    lam: float = 1.0            # Yukawa coupling
+    u: float = 1.0              # quartic coupling
+    c: float = 1.0              # bare boson velocity
+    # band structure (x band hops strongly along x; y band along y)
+    txhor: float = -1.0
+    txver: float = -0.5
+    tyhor: float = -0.5
+    tyver: float = -1.0
+    mu: float = -0.5
+    beta: float = 4.0
+    m: int = 40
+    s: int = 4                  # stabilization interval
+    delay: int = 0              # reserved (iterative Woodbury is default)
+    box_width: float = 1.0      # phi proposal box half-width (tunable)
+    globalShift: bool = False
+    wolffClusterUpdate: bool = False
+    globalUpdateInterval: int = 5   # sweeps between global moves
+    turnoffFermions: bool = False
+    dtype: str = "float32"
+    stab_dtype: str = "auto"
+
+    def __post_init__(self):
+        if self.m % self.s != 0:
+            raise ValueError(f"m={self.m} must be divisible by s={self.s}")
+        if self.opdim not in (1, 2, 3):
+            raise ValueError("opdim must be 1, 2 or 3")
+
+    @property
+    def dtau(self) -> float:
+        return self.beta / self.m
+
+    @property
+    def n_sites(self) -> int:
+        return self.L * self.L
+
+    @property
+    def dim(self) -> int:
+        return N_ORB * self.n_sites
+
+    @property
+    def n_stack(self) -> int:
+        return self.m // self.s
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def cdtype(self):
+        """Fermion-matrix dtype: complex for opdim >= 2 (sigma_y), real
+        for the Ising case."""
+        if self.opdim == 1:
+            return jnp.dtype(self.dtype)
+        return jnp.dtype("complex64") if self.dtype == "float32" \
+            else jnp.dtype("complex128")
+
+    @property
+    def stab_jdtype(self):
+        if self.stab_dtype == "auto":
+            if self.cdtype == jnp.dtype("complex64"):
+                return jnp.dtype("complex128")
+            if self.cdtype == jnp.dtype("float32"):
+                return jnp.dtype("float64")
+            return self.cdtype
+        return jnp.dtype(self.stab_dtype)
+
+
+class SDWState(NamedTuple):
+    """Per-walker device state."""
+
+    phi: jax.Array         # (m, N, opdim) order-parameter field
+    G: jax.Array           # (dim, dim) equal-time Green at sweep edge
+    stack_U: jax.Array     # (K+1, dim, dim) cdtype
+    stack_d: jax.Array     # (K+1, dim) real
+    stack_V: jax.Array     # (K+1, dim, dim) stab cdtype
+    key: jax.Array
+    phase: jax.Array       # complex phase/sign of det M (tracked exactly)
+    box_width: jax.Array   # adaptive proposal width (device scalar)
+    next_dir: jax.Array
+    sweeps_done: jax.Array
+    green_dev: jax.Array
+    sv_min: jax.Array
+    sv_max: jax.Array
+
+
+class SDWObservables(NamedTuple):
+    """Reference observable set (SURVEY.md §3: phi moments for Binder
+    cumulants, SDW susceptibility, occupancy, action pieces)."""
+
+    phiSquared: jax.Array       # <|phi|^2> per site
+    phiFourth: jax.Array        # <(|phi|^2)^2> (Binder numerator)
+    phiNorm: jax.Array          # <|phi|>
+    sdwSusceptibility: jax.Array  # beta * N * <|phibar|^2>, phibar = mean
+    occupancy: jax.Array        # fermion filling per site (all 4 orbitals)
+    kineticEnergy: jax.Array
+    bosonAction: jax.Array      # S_B / (m N)
+    phase: jax.Array            # Re of the tracked det phase
+    acceptance: jax.Array
+
+
+def _pauli_stack(opdim: int) -> np.ndarray:
+    sx = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+    sy = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+    sz = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+    return np.stack([sx, sy, sz][:opdim])
+
+
+class SDWModel:
+    """Factory binding static config + device constants to jitted kernels
+    (structure mirrors HubbardModel)."""
+
+    def __init__(self, cfg: SDWConfig):
+        self.cfg = cfg
+        self.lat = lattice_mod.SquareLattice(cfg.L)
+        if (jnp.dtype(cfg.stab_jdtype).kind in "cf"
+                and jnp.dtype(cfg.stab_jdtype).itemsize >= 8
+                and not jax.config.jax_enable_x64):
+            jax.config.update("jax_enable_x64", True)
+        if jax.config.jax_default_matmul_precision is None:
+            jax.config.update("jax_default_matmul_precision", "highest")
+        cdt = cfg.cdtype
+        N = cfg.n_sites
+        # per-band kinetic exponentials (x: strong along x; y: rotated)
+        Kx = self.lat.hopping_matrix(1.0, tx=cfg.txhor, ty=cfg.txver)
+        Ky = self.lat.hopping_matrix(1.0, tx=cfg.tyhor, ty=cfg.tyver)
+        expKx, expKx_inv = kinetic_exponentials(Kx, cfg.dtau, cfg.mu)
+        expKy, expKy_inv = kinetic_exponentials(Ky, cfg.dtau, cfg.mu)
+        # orbital-major order: (x_up, x_dn, y_up, y_dn)
+        self.expK = jnp.asarray(
+            np.stack([expKx, expKx, expKy, expKy]), cdt)       # (4, N, N)
+        self.expK_inv = jnp.asarray(
+            np.stack([expKx_inv, expKx_inv, expKy_inv, expKy_inv]), cdt)
+        self.K_orb = jnp.asarray(np.stack([Kx, Kx, Ky, Ky]), cdt)
+        self.paulis = jnp.asarray(_pauli_stack(cfg.opdim), cdt)  # (op,2,2)
+        self.nb = jnp.asarray(self.lat.neighbors(), jnp.int32)  # (N, 4)
+        self._jit_cache = {}
+
+    # ---- potential factor ---------------------------------------------------
+    def _phi_matrix(self, phi_site: jax.Array) -> jax.Array:
+        """Phi = phi . sigma: (..., 2, 2) from (..., opdim)."""
+        return jnp.einsum("...o,oab->...ab",
+                          phi_site.astype(self.cfg.cdtype), self.paulis)
+
+    def exp_v_blocks(self, phi_slice: jax.Array, sign: float = -1.0
+                     ) -> jax.Array:
+        """exp(sign * dtau * V(phi)) as per-site 4x4 blocks: (N, 4, 4).
+
+        Closed form via V^2 = (lam |phi|)^2 (SURVEY.md §9 "SDW model")."""
+        cfg = self.cfg
+        cdt = cfg.cdtype
+        nrm = jnp.sqrt(jnp.sum(phi_slice ** 2, axis=-1))        # (N,)
+        a = cfg.dtau * cfg.lam * nrm
+        ch = jnp.cosh(a).astype(cdt)
+        sh_over = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
+                            cfg.dtau * cfg.lam)                 # sinh(a)/|phi|
+        Phi = self._phi_matrix(phi_slice)                       # (N, 2, 2)
+        eye2 = jnp.eye(2, dtype=cdt)
+        # [[ch 1, s Phi], [s Phi^H, ch 1]]: V = lam [[0, Phi], [Phi^H, 0]]
+        # and sinh(a) V/(lam|phi|) = (sinh(a)/|phi|) [[0, Phi], [Phi^H, 0]]
+        coef = (sign * sh_over).astype(cdt)[:, None, None]
+        off = coef * Phi
+        offH = coef * jnp.conj(jnp.swapaxes(Phi, -1, -2))
+        row1 = jnp.concatenate([ch[:, None, None] * eye2, off], axis=-1)
+        row2 = jnp.concatenate([offH, ch[:, None, None] * eye2], axis=-1)
+        return jnp.concatenate([row1, row2], axis=-2)           # (N, 4, 4)
+
+    # ---- block-diagonal / kinetic applies -----------------------------------
+    def _as_orb(self, X: jax.Array) -> jax.Array:
+        """(4N, k) -> (4, N, k) orbital-major view."""
+        return X.reshape(N_ORB, self.cfg.n_sites, -1)
+
+    def _from_orb(self, X: jax.Array) -> jax.Array:
+        return X.reshape(N_ORB * self.cfg.n_sites, -1)
+
+    def dv_mult_left(self, blocks: jax.Array, X: jax.Array) -> jax.Array:
+        """D_V @ X with D_V block-diagonal per site: blocks (N, 4, 4)."""
+        Xo = self._as_orb(X)                                    # (4, N, k)
+        Xo = jnp.einsum("iab,bik->aik", blocks, Xo)
+        return self._from_orb(Xo)
+
+    def dv_mult_right(self, X: jax.Array, blocks: jax.Array) -> jax.Array:
+        """X @ D_V."""
+        k = X.shape[0]
+        Xo = X.reshape(k, N_ORB, self.cfg.n_sites)              # (k, 4, N)
+        Xo = jnp.einsum("kai,iab->kbi", Xo, blocks)
+        return Xo.reshape(k, N_ORB * self.cfg.n_sites)
+
+    def kinetic_mult_left(self, X: jax.Array, inv=False,
+                          transpose=False) -> jax.Array:
+        E = self.expK_inv if inv else self.expK
+        if transpose:
+            E = jnp.swapaxes(E, -1, -2)
+        Xo = self._as_orb(X)
+        return self._from_orb(jnp.einsum("onm,omk->onk", E, Xo))
+
+    def kinetic_mult_right(self, X: jax.Array, inv=False) -> jax.Array:
+        E = self.expK_inv if inv else self.expK
+        k = X.shape[0]
+        Xo = X.reshape(k, N_ORB, self.cfg.n_sites)
+        Xo = jnp.einsum("kom,omn->kon", Xo, E)
+        return Xo.reshape(k, N_ORB * self.cfg.n_sites)
+
+    # B = D_V expK (potential leftmost, same convention as Hubbard)
+    def b_mult_left(self, blocks, X):
+        return self.dv_mult_left(blocks, self.kinetic_mult_left(X))
+
+    def b_inv_mult_left(self, blocks_inv, X):
+        return self.kinetic_mult_left(self.dv_mult_left(blocks_inv, X),
+                                      inv=True)
+
+    def b_mult_right(self, X, blocks):
+        return self.kinetic_mult_right(self.dv_mult_right(X, blocks))
+
+    def b_inv_mult_right(self, X, blocks_inv):
+        return self.dv_mult_right(self.kinetic_mult_right(X, inv=True),
+                                  blocks_inv)
+
+    def bT_mult_left(self, blocks, X):
+        """B^H @ X = expK^H (D_V^H X) for the transposed right stack."""
+        blocksH = jnp.conj(jnp.swapaxes(blocks, -1, -2))
+        return self.kinetic_mult_left(self.dv_mult_left(blocksH, X),
+                                      transpose=True)
+
+    # ---- boson action -------------------------------------------------------
+    def boson_action(self, phi: jax.Array) -> jax.Array:
+        """S_B[phi] (SURVEY.md §9). phi: (m, N, opdim)."""
+        cfg = self.cfg
+        dtau = cfg.dtau
+        d_tau = phi - jnp.roll(phi, 1, axis=0)       # periodic in tau
+        s_tau = jnp.sum(d_tau ** 2) / (2.0 * cfg.c ** 2 * dtau ** 2)
+        # spatial gradient: +x and +y neighbors only (each bond once)
+        nb_px = self.nb[:, 0]
+        nb_py = self.nb[:, 2]
+        dx = phi - phi[:, nb_px]
+        dy = phi - phi[:, nb_py]
+        s_grad = 0.5 * (jnp.sum(dx ** 2) + jnp.sum(dy ** 2))
+        phi2 = jnp.sum(phi ** 2, axis=-1)
+        s_pot = 0.5 * cfg.r * jnp.sum(phi2) + 0.25 * cfg.u * jnp.sum(
+            phi2 ** 2)
+        return dtau * (s_tau + s_grad + s_pot)
+
+    def _local_action(self, phi, l_idx, i, phi_i):
+        """Boson action terms containing site (i, l) evaluated at phi_i.
+
+        phi: (m, N, opdim); l_idx 1-based slice converted by caller to
+        0-based. Includes the two tau-links, four spatial bonds, r and u
+        terms — everything that changes under a single-site update."""
+        cfg = self.cfg
+        dtau = cfg.dtau
+        m = cfg.m
+        lp = (l_idx + 1) % m
+        lm = (l_idx - 1) % m
+        tau_term = (jnp.sum((phi_i - phi[lp, i]) ** 2)
+                    + jnp.sum((phi_i - phi[lm, i]) ** 2)) \
+            / (2.0 * cfg.c ** 2 * dtau ** 2)
+        nbs = self.nb[i]                              # (4,)
+        grad = 0.5 * jnp.sum((phi_i[None, :] - phi[l_idx, nbs]) ** 2)
+        phi2 = jnp.sum(phi_i ** 2)
+        pot = 0.5 * cfg.r * phi2 + 0.25 * cfg.u * phi2 ** 2
+        return dtau * (tau_term + grad + pot)
+
+    # ---- per-site Metropolis -------------------------------------------------
+    def _site_indices(self, i):
+        N = self.cfg.n_sites
+        return jnp.stack([i, N + i, 2 * N + i, 3 * N + i])
+
+    def update_slice(self, G, phi, l_1based, key, phase, box_w):
+        """Sequential single-site phi updates in slice l (reference:
+        DetSDW::updateInSlice with updateMethod=iterative/woodbury).
+        G: (dim, dim); phi: (m, N, opdim). Returns updated (G, phi, key,
+        phase, acc_rate)."""
+        cfg = self.cfg
+        cdt = cfg.cdtype
+        N = cfg.n_sites
+        l_idx = l_1based - 1
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        deltas = jax.random.uniform(
+            k_prop, (N, cfg.opdim), dtype=cfg.jdtype,
+            minval=-1.0, maxval=1.0) * box_w
+        u01 = jax.random.uniform(k_acc, (N,), dtype=cfg.jdtype)
+        eye4 = jnp.eye(N_ORB, dtype=cdt)
+
+        def site_step(carry, i):
+            G, phi, phase = carry
+            phi_old = phi[l_idx, i]
+            phi_new = phi_old + deltas[i]
+            dS = (self._local_action(phi, l_idx, i, phi_new)
+                  - self._local_action(phi, l_idx, i, phi_old))
+            if cfg.turnoffFermions:
+                accept = u01[i] < jnp.exp(-dS)
+                phi = phi.at[l_idx, i].set(
+                    jnp.where(accept, phi_new, phi_old))
+                return (G, phi, phase), accept.astype(cfg.jdtype)
+            # Delta = e^{-dtau V(new)} e^{+dtau V(old)} - 1 (4x4, site i);
+            # the inverse of e^{-dtau V(old)} is e^{+dtau V(old)}
+            ev_new = self._exp_v_single(phi_new, -1.0)
+            ev_old_inv = self._exp_v_single(phi_old, +1.0)
+            Delta = mm(ev_new, ev_old_inv) - eye4
+            idx = self._site_indices(i)
+            G_II = G[jnp.ix_(idx, idx)]
+            A = eye4 + mm(Delta, eye4 - G_II)
+            R = jnp.linalg.det(A)
+            weight = jnp.abs(R) * jnp.exp(-dS)
+            accept = u01[i] < weight
+            # Woodbury rank-4: G' = G - G[:,I] [A^{-1} Delta] (1-G)[I,:]
+            Ainv_D = jnp.linalg.solve(A, Delta)
+            Gcols = G[:, idx]                                   # (dim, 4)
+            rowsI = -G[idx, :]
+            rowsI = rowsI.at[jnp.arange(4), idx].add(1.0)       # (1-G)[I,:]
+            upd = mm(Gcols, mm(Ainv_D, rowsI))
+            gate = accept.astype(cfg.jdtype)
+            G = G - gate * upd
+            phi = phi.at[l_idx, i].set(
+                jnp.where(accept, phi_new, phi_old))
+            phase = jnp.where(accept, phase * R / jnp.abs(R), phase)
+            return (G, phi, phase), gate
+
+        (G, phi, phase), acc = jax.lax.scan(
+            site_step, (G, phi, phase), jnp.arange(N))
+        return G, phi, key, phase, acc.mean()
+
+    def _exp_v_single(self, phi_i: jax.Array, sign: float) -> jax.Array:
+        """exp(sign * dtau * V) for one site: (4, 4)."""
+        cfg = self.cfg
+        cdt = cfg.cdtype
+        nrm = jnp.sqrt(jnp.sum(phi_i ** 2))
+        a = cfg.dtau * cfg.lam * nrm
+        ch = jnp.cosh(a).astype(cdt)
+        sh_over = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
+                            cfg.dtau * cfg.lam).astype(cdt)
+        Phi = self._phi_matrix(phi_i)                           # (2, 2)
+        eye2 = jnp.eye(2, dtype=cdt)
+        off = sign * sh_over * Phi
+        offH = sign * sh_over * jnp.conj(Phi.T)
+        return jnp.block([[ch * eye2, off], [offH, ch * eye2]])
+
+    # ---- wraps ---------------------------------------------------------------
+    def wrap_up(self, G, blocks, blocks_inv):
+        return self.b_mult_left(blocks,
+                                self.b_inv_mult_right(G, blocks_inv))
+
+    def wrap_down(self, G, blocks, blocks_inv):
+        return self.b_inv_mult_left(blocks_inv,
+                                    self.b_mult_right(G, blocks))
+
+    # ---- measurement -----------------------------------------------------------
+    def measure(self, G, phi, phase, acc_rate) -> SDWObservables:
+        cfg = self.cfg
+        N = cfg.n_sites
+        phi2 = jnp.sum(phi ** 2, axis=-1)                       # (m, N)
+        phibar = phi.mean(axis=(0, 1))                          # (opdim,)
+        chi = cfg.beta * N * jnp.sum(phibar ** 2)
+        occ = (N_ORB - jnp.real(jnp.trace(G)) / N)
+        # kinetic: sum_o tr(K_o G_o) with G_o the (N,N) diagonal block
+        Gorb = G.reshape(N_ORB, N, N_ORB, N)
+        e_kin = -jnp.real(sum(
+            jnp.sum(self.K_orb[o].T * Gorb[o, :, o, :])
+            for o in range(N_ORB))) / N
+        return SDWObservables(
+            phiSquared=phi2.mean(),
+            phiFourth=(phi2 ** 2).mean(),
+            phiNorm=jnp.sqrt(phi2).mean(),
+            sdwSusceptibility=chi,
+            occupancy=occ,
+            kineticEnergy=e_kin,
+            bosonAction=self.boson_action(phi) / (cfg.m * N),
+            phase=jnp.real(phase),
+            acceptance=acc_rate,
+        )
+
+    # ---- sweeps (same stack choreography as Hubbard) --------------------------
+    def _sweep(self, state: SDWState, up: bool, measure: bool):
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        dim = cfg.dim
+        cdt = cfg.cdtype
+        sdt = cfg.stab_jdtype
+
+        phi, G, key, phase = state.phi, state.G, state.key, state.phase
+        box_w = state.box_width
+        stack = (state.stack_U, state.stack_d, state.stack_V)
+        eye_f = self._eye_mixed()
+
+        def interval(carry, xs):
+            G, lazy_U, d_c, V_c, phi, key, phase, dev, acc_sum, obs_sum = \
+                carry
+            k, entry_U, entry_d, entry_V = xs
+
+            def slice_step(c, l_rel):
+                G, lazy_U, phi, key, phase, acc_sum = c
+                l = (k - 1) * s_int + 1 + l_rel if up else k * s_int - l_rel
+                if up:
+                    blocks_old = self.exp_v_blocks(phi[l - 1])
+                    blocks_old_inv = self.exp_v_blocks(phi[l - 1],
+                                                       sign=+1.0)
+                    G = self.wrap_up(G, blocks_old, blocks_old_inv)
+                G, phi, key, phase, acc = self.update_slice(
+                    G, phi, l, key, phase, box_w)
+                blocks_new = self.exp_v_blocks(phi[l - 1])
+                if up:
+                    lazy_U = self.b_mult_left(blocks_new, lazy_U)
+                else:
+                    blocks_new_inv = self.exp_v_blocks(phi[l - 1],
+                                                       sign=+1.0)
+                    lazy_U = self.bT_mult_left(blocks_new, lazy_U)
+                    G = self.wrap_down(G, blocks_new, blocks_new_inv)
+                return (G, lazy_U, phi, key, phase, acc_sum + acc), None
+
+            (G, lazy_U, phi, key, phase, acc_sum), _ = jax.lax.scan(
+                slice_step, (G, lazy_U, phi, key, phase, acc_sum),
+                jnp.arange(s_int))
+
+            f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
+            other = UDV(entry_U, entry_d, entry_V)
+            if up:
+                G_stab = green_from_two_udv(f_new, other,
+                                            compute_dtype=sdt)
+            else:
+                G_stab = green_from_two_udv(other, f_new,
+                                            compute_dtype=sdt)
+            G_stab = G_stab.astype(cdt)
+            dev = jnp.maximum(dev, jnp.abs(G - G_stab).max())
+            G = G_stab
+            if measure:
+                obs = self.measure(G, phi, phase, jnp.zeros((), cfg.jdtype))
+                obs_sum = jax.tree.map(jnp.add, obs_sum, obs)
+            carry = (G, f_new.U.astype(cdt), f_new.d, f_new.V, phi, key,
+                     phase, dev, acc_sum, obs_sum)
+            return carry, f_new
+
+        ks = jnp.arange(1, K + 1) if up else jnp.arange(K, 0, -1)
+        consumed_idx = ks if up else ks - 1
+        consumed = tuple(a[consumed_idx] for a in stack)
+
+        zero_obs = jax.tree.map(
+            lambda a: jnp.zeros_like(a),
+            self.measure(G, phi, phase, jnp.zeros((), cfg.jdtype)))
+        rdt = jnp.zeros((), cfg.jdtype)
+        carry0 = (G, eye_f.U.astype(cdt), eye_f.d, eye_f.V, phi, key,
+                  phase, rdt, jnp.zeros((), cfg.jdtype), zero_obs)
+        (G, _, _, _, phi, key, phase, dev, acc_sum, obs_sum), emitted = \
+            jax.lax.scan(interval, carry0, (ks, *consumed))
+
+        def assemble(entries, eye_leaf):
+            if up:
+                return jnp.concatenate([eye_leaf[None], entries], axis=0)
+            return jnp.concatenate([jnp.flip(entries, axis=0),
+                                    eye_leaf[None]], axis=0)
+
+        newU = assemble(emitted.U, eye_f.U.astype(emitted.U.dtype))
+        newd = assemble(emitted.d, eye_f.d)
+        newV = assemble(emitted.V, eye_f.V)
+
+        logd = jnp.log10(jnp.maximum(emitted.d, 1e-38))
+        new_state = SDWState(
+            phi=phi, G=G,
+            stack_U=newU, stack_d=newd, stack_V=newV,
+            key=key, phase=phase, box_width=box_w,
+            next_dir=jnp.asarray(1 if up else 0, jnp.int32),
+            sweeps_done=state.sweeps_done + 1,
+            green_dev=dev.astype(jnp.float32),
+            sv_min=logd.min().astype(jnp.float32),
+            sv_max=logd.max().astype(jnp.float32),
+        )
+        n_meas = jnp.asarray(K, cfg.jdtype)
+        obs_mean = jax.tree.map(lambda a: a / n_meas, obs_sum)
+        obs_mean = obs_mean._replace(
+            acceptance=acc_sum / jnp.asarray(cfg.m, cfg.jdtype))
+        return new_state, obs_mean
+
+    def sweep_up(self, state, measure=False):
+        return self._sweep(state, up=True, measure=measure)
+
+    def sweep_down(self, state, measure=False):
+        return self._sweep(state, up=False, measure=measure)
+
+    def sweep_pair(self, state, measure: bool):
+        state, o1 = self._sweep(state, up=True, measure=measure)
+        state, o2 = self._sweep(state, up=False, measure=measure)
+        obs = jax.tree.map(lambda a, b: 0.5 * (a + b), o1, o2)
+        return state, obs
+
+    # ---- global moves ----------------------------------------------------------
+    def attempt_global_shift(self, state: SDWState):
+        """phi -> phi + delta everywhere; Metropolis with full stabilized
+        determinant recompute (reference: attemptGlobalShiftMove)."""
+        cfg = self.cfg
+        key, k_d, k_a = jax.random.split(state.key, 3)
+        delta = jax.random.normal(k_d, (cfg.opdim,), dtype=cfg.jdtype) \
+            * state.box_width
+        phi_new = state.phi + delta
+        dS = self.boson_action(phi_new) - self.boson_action(state.phi)
+        if cfg.turnoffFermions:
+            log_ratio = -dS
+        else:
+            ld_old, _ = self._chain_logdet(state.phi)
+            ld_new, _ = self._chain_logdet(phi_new)
+            log_ratio = (ld_new - ld_old) - dS
+        accept = jnp.log(jax.random.uniform(
+            k_a, (), dtype=cfg.jdtype)) < log_ratio
+        phi = jnp.where(accept, phi_new, state.phi)
+        st = state._replace(phi=phi, key=key)
+        return self.refresh_from_field(st), accept
+
+    def _chain_logdet(self, phi):
+        """log|det(1 + B_m...B_1)| via the factored chain."""
+        from detqmc_tpu.linalg.udv import log_det_one_plus_udv
+        stack = self._build_right_stack(phi)
+        full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
+        return log_det_one_plus_udv(UDV(
+            full_t.U, full_t.d, full_t.V.astype(full_t.U.dtype)))
+
+    # ---- setup -------------------------------------------------------------------
+    def _eye_mixed(self):
+        cfg = self.cfg
+        dim, cdt, sdt = cfg.dim, cfg.cdtype, cfg.stab_jdtype
+        eye_c = jnp.eye(dim, dtype=cdt)
+        eye_s = jnp.eye(dim, dtype=sdt)
+        d = jnp.ones((dim,), jnp.finfo(sdt).dtype)
+        return UDV(eye_c, d, eye_s)
+
+    def _build_right_stack(self, phi):
+        """Right (transposed) stack entries from the field. Returns list
+        indexed by position k = 0..K (entry K = identity); entry 0 is the
+        full transposed chain."""
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        eye_f = self._eye_mixed()
+        sdt = cfg.stab_jdtype
+
+        def build_interval(f_carry, k):
+            def absorb(lazy_U, l_rel):
+                l = k * s_int - l_rel
+                blocks = self.exp_v_blocks(phi[l - 1])
+                return self.bT_mult_left(blocks, lazy_U), None
+
+            lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(cfg.cdtype),
+                                     jnp.arange(s_int))
+            f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
+                                 compose_dtype=sdt)
+            return f_new, f_new
+
+        _, emitted = jax.lax.scan(build_interval, eye_f,
+                                  jnp.arange(K, 0, -1))
+        newU = jnp.concatenate(
+            [jnp.flip(emitted.U, axis=0),
+             eye_f.U[None].astype(emitted.U.dtype)], axis=0)
+        newd = jnp.concatenate([jnp.flip(emitted.d, axis=0),
+                                eye_f.d[None]], axis=0)
+        newV = jnp.concatenate([jnp.flip(emitted.V, axis=0),
+                                eye_f.V[None]], axis=0)
+        return UDV(newU, newd, newV)
+
+    def refresh_from_field(self, state: SDWState) -> SDWState:
+        cfg = self.cfg
+        stack = self._build_right_stack(state.phi)
+        full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
+        G = green_from_two_udv(self._eye_mixed(), full_t,
+                               compute_dtype=cfg.stab_jdtype
+                               ).astype(cfg.cdtype)
+        return state._replace(
+            G=G, stack_U=stack.U, stack_d=stack.d, stack_V=stack.V,
+            next_dir=jnp.asarray(0, jnp.int32))
+
+    def init_state(self, key: jax.Array) -> SDWState:
+        cfg = self.cfg
+        key, k_phi = jax.random.split(key)
+        phi = jax.random.normal(
+            k_phi, (cfg.m, cfg.n_sites, cfg.opdim), dtype=cfg.jdtype) * 0.5
+        dim, cdt, sdt = cfg.dim, cfg.cdtype, cfg.stab_jdtype
+        K = cfg.n_stack
+        rdt = jnp.finfo(sdt).dtype
+        state0 = SDWState(
+            phi=phi,
+            G=jnp.zeros((dim, dim), cdt),
+            stack_U=jnp.zeros((K + 1, dim, dim), cdt),
+            stack_d=jnp.zeros((K + 1, dim), rdt),
+            stack_V=jnp.zeros((K + 1, dim, dim), sdt),
+            key=key,
+            phase=jnp.ones((), cdt),
+            box_width=jnp.asarray(cfg.box_width, cfg.jdtype),
+            next_dir=jnp.asarray(0, jnp.int32),
+            sweeps_done=jnp.asarray(0, jnp.int32),
+            green_dev=jnp.zeros((), jnp.float32),
+            sv_min=jnp.zeros((), jnp.float32),
+            sv_max=jnp.zeros((), jnp.float32),
+        )
+        return self.refresh_from_field(state0)
