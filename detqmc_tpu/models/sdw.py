@@ -141,6 +141,7 @@ class SDWState(NamedTuple):
     key: jax.Array
     phase: jax.Array       # complex phase/sign of det M (tracked exactly)
     box_width: jax.Array   # adaptive proposal width (device scalar)
+    r: jax.Array           # traced control parameter (PT swaps change it)
     next_dir: jax.Array
     sweeps_done: jax.Array
     green_dev: jax.Array
@@ -287,9 +288,12 @@ class SDWModel:
                                       transpose=True)
 
     # ---- boson action -------------------------------------------------------
-    def boson_action(self, phi: jax.Array) -> jax.Array:
-        """S_B[phi] (SURVEY.md §9). phi: (m, N, opdim)."""
+    def boson_action(self, phi: jax.Array, r=None) -> jax.Array:
+        """S_B[phi] (SURVEY.md §9). phi: (m, N, opdim). ``r`` may be a
+        traced per-replica value (parallel tempering swaps it)."""
         cfg = self.cfg
+        if r is None:
+            r = cfg.r
         dtau = cfg.dtau
         d_tau = phi - jnp.roll(phi, 1, axis=0)       # periodic in tau
         s_tau = jnp.sum(d_tau ** 2) / (2.0 * cfg.c ** 2 * dtau ** 2)
@@ -300,11 +304,10 @@ class SDWModel:
         dy = phi - phi[:, nb_py]
         s_grad = 0.5 * (jnp.sum(dx ** 2) + jnp.sum(dy ** 2))
         phi2 = jnp.sum(phi ** 2, axis=-1)
-        s_pot = 0.5 * cfg.r * jnp.sum(phi2) + 0.25 * cfg.u * jnp.sum(
-            phi2 ** 2)
+        s_pot = 0.5 * r * jnp.sum(phi2) + 0.25 * cfg.u * jnp.sum(phi2 ** 2)
         return dtau * (s_tau + s_grad + s_pot)
 
-    def _local_action(self, phi, l_idx, i, phi_i):
+    def _local_action(self, phi, l_idx, i, phi_i, r):
         """Boson action terms containing site (i, l) evaluated at phi_i.
 
         phi: (m, N, opdim); l_idx 1-based slice converted by caller to
@@ -321,7 +324,7 @@ class SDWModel:
         nbs = self.nb[i]                              # (4,)
         grad = 0.5 * jnp.sum((phi_i[None, :] - phi[l_idx, nbs]) ** 2)
         phi2 = jnp.sum(phi_i ** 2)
-        pot = 0.5 * cfg.r * phi2 + 0.25 * cfg.u * phi2 ** 2
+        pot = 0.5 * r * phi2 + 0.25 * cfg.u * phi2 ** 2
         return dtau * (tau_term + grad + pot)
 
     # ---- per-site Metropolis -------------------------------------------------
@@ -329,7 +332,7 @@ class SDWModel:
         N = self.cfg.n_sites
         return jnp.stack([i, N + i, 2 * N + i, 3 * N + i])
 
-    def update_slice(self, G, phi, l_1based, key, phase, box_w):
+    def update_slice(self, G, phi, l_1based, key, phase, box_w, r=None):
         """Sequential single-site phi updates in slice l (reference:
         DetSDW::updateInSlice with updateMethod=iterative/woodbury).
         G: (dim, dim); phi: (m, N, opdim). Returns updated (G, phi, key,
@@ -337,6 +340,8 @@ class SDWModel:
         cfg = self.cfg
         cdt = cfg.cdtype
         N = cfg.n_sites
+        if r is None:
+            r = jnp.asarray(cfg.r, cfg.jdtype)
         l_idx = l_1based - 1
         key, k_prop, k_acc = jax.random.split(key, 3)
         deltas = jax.random.uniform(
@@ -349,8 +354,8 @@ class SDWModel:
             G, phi, phase = carry
             phi_old = phi[l_idx, i]
             phi_new = phi_old + deltas[i]
-            dS = (self._local_action(phi, l_idx, i, phi_new)
-                  - self._local_action(phi, l_idx, i, phi_old))
+            dS = (self._local_action(phi, l_idx, i, phi_new, r)
+                  - self._local_action(phi, l_idx, i, phi_old, r))
             if cfg.turnoffFermions:
                 accept = u01[i] < jnp.exp(-dS)
                 phi = phi.at[l_idx, i].set(
@@ -460,7 +465,7 @@ class SDWModel:
                                                        sign=+1.0)
                     G = self.wrap_up(G, blocks_old, blocks_old_inv)
                 G, phi, key, phase, acc = self.update_slice(
-                    G, phi, l, key, phase, box_w)
+                    G, phi, l, key, phase, box_w, state.r)
                 blocks_new = self.exp_v_blocks(phi[l - 1])
                 if up:
                     lazy_U = self.b_mult_left(blocks_new, lazy_U)
@@ -520,7 +525,7 @@ class SDWModel:
         new_state = SDWState(
             phi=phi, G=G,
             stack_U=newU, stack_d=newd, stack_V=newV,
-            key=key, phase=phase, box_width=box_w,
+            key=key, phase=phase, box_width=box_w, r=state.r,
             next_dir=jnp.asarray(1 if up else 0, jnp.int32),
             sweeps_done=state.sweeps_done + 1,
             green_dev=dev.astype(jnp.float32),
@@ -554,7 +559,8 @@ class SDWModel:
         delta = jax.random.normal(k_d, (cfg.opdim,), dtype=cfg.jdtype) \
             * state.box_width
         phi_new = state.phi + delta
-        dS = self.boson_action(phi_new) - self.boson_action(state.phi)
+        dS = (self.boson_action(phi_new, state.r)
+              - self.boson_action(state.phi, state.r))
         if cfg.turnoffFermions:
             log_ratio = -dS
         else:
@@ -574,6 +580,16 @@ class SDWModel:
         full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
         return log_det_one_plus_udv(UDV(
             full_t.U, full_t.d, full_t.V.astype(full_t.U.dtype)))
+
+    # ---- parallel tempering hooks -------------------------------------------
+    def exchange_action(self, state: "SDWState") -> jax.Array:
+        """The r-conjugate action piece a = dS/dr = dtau/2 sum phi^2 —
+        the only term that moves in a parameter swap (the fermion
+        determinant is r-independent; reference/SURVEY.md §9)."""
+        return 0.5 * self.cfg.dtau * jnp.sum(state.phi ** 2)
+
+    def with_r(self, state: "SDWState", r) -> "SDWState":
+        return state._replace(r=jnp.asarray(r, self.cfg.jdtype))
 
     # ---- setup -------------------------------------------------------------------
     def _eye_mixed(self):
@@ -644,6 +660,7 @@ class SDWModel:
             key=key,
             phase=jnp.ones((), cdt),
             box_width=jnp.asarray(cfg.box_width, cfg.jdtype),
+            r=jnp.asarray(cfg.r, cfg.jdtype),
             next_dir=jnp.asarray(0, jnp.int32),
             sweeps_done=jnp.asarray(0, jnp.int32),
             green_dev=jnp.zeros((), jnp.float32),

@@ -1,0 +1,121 @@
+"""Parallel tempering: swap kinematics, sharded==local equivalence on the
+virtual 8-device mesh, and an end-to-end physics check (SURVEY.md §5
+implication (f): multi-replica PT on a mocked mesh)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detqmc_tpu.parallel import pt as pt_mod
+
+
+def test_param_assignment_stays_permutation():
+    key = jax.random.key(0)
+    pt = pt_mod.init_pt(8, key)
+    r_values = jnp.linspace(0.0, 2.0, 8)
+    for i in range(50):
+        actions = jax.random.normal(jax.random.fold_in(key, i), (8,)) * 5.0
+        pt = pt_mod.exchange_step(pt, actions, r_values)
+        perm = np.sort(np.asarray(pt.param_of_replica))
+        np.testing.assert_array_equal(perm, np.arange(8))
+    assert int(pt.n_attempted.sum()) > 0
+
+
+def test_exchange_acceptance_formula():
+    """Two replicas: acceptance statistics must follow
+    min(1, exp[(r0 - r1)(a0 - a1)])."""
+    r_values = jnp.asarray([0.5, 1.5])
+    a = jnp.asarray([2.0, 1.0])   # (r0-r1)(a0-a1) = (-1)(1) = -1
+    expected_p = np.exp(-1.0)
+    n_acc = 0
+    n_try = 400
+    pt = pt_mod.init_pt(2, jax.random.key(1))
+    for i in range(n_try):
+        prev = np.asarray(pt.param_of_replica)
+        pt = pt_mod.exchange_step(pt, a, r_values)
+        # with R=2, parity alternates; only even parity attempts the pair
+        new = np.asarray(pt.param_of_replica)
+        if not np.array_equal(prev, new):
+            n_acc += 1
+            # undo so the same (r, a) situation is re-tested
+            pt = pt._replace(param_of_replica=jnp.asarray(prev))
+    # pair attempted every other call (parity) -> n_try/2 attempts
+    rate = n_acc / (n_try / 2)
+    assert rate == pytest.approx(expected_p, abs=0.08)
+
+
+def test_always_swap_when_favorable():
+    """(r_i - r_j)(a_i - a_j) > 0 -> always swap."""
+    r_values = jnp.asarray([0.0, 1.0])
+    a = jnp.asarray([1.0, 5.0])   # (0-1)(1-5) = 4 > 0
+    pt = pt_mod.init_pt(2, jax.random.key(2))
+    pt = pt_mod.exchange_step(pt, a, r_values)  # parity 0: attempts
+    np.testing.assert_array_equal(np.asarray(pt.param_of_replica), [1, 0])
+
+
+def test_sharded_exchange_matches_local():
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 cpu devices"
+    R = 8
+    mesh = Mesh(np.array(jax.devices()), ("replica",))
+    r_values = jnp.linspace(0.0, 1.0, R)
+    actions = jax.random.normal(jax.random.key(3), (R,))
+    pt0 = pt_mod.init_pt(R, jax.random.key(4))
+
+    local = pt_mod.exchange_step(pt0, actions, r_values)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P("replica"), P()), out_specs=P(),
+                       check_vma=False)
+    def sharded(pt, local_actions, r_vals):
+        return pt_mod.exchange_step_sharded(pt, local_actions, r_vals,
+                                            "replica")
+
+    out = sharded(pt0, actions, r_values)
+    np.testing.assert_array_equal(np.asarray(local.param_of_replica),
+                                  np.asarray(out.param_of_replica))
+
+
+@pytest.mark.slow
+def test_pt_end_to_end_boson_limit(tmp_path):
+    """4 replicas over an r grid in the turnoffFermions limit: each
+    parameter's <phi^2> must match an independent single-r run within
+    errors, and <phi^2> must decrease with r."""
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    r_grid = [0.0, 0.7, 1.4, 2.1]
+    cfg = SDWConfig(L=2, opdim=2, r=0.0, u=0.5, beta=2.0, m=8, s=2,
+                    turnoffFermions=True, dtype="float64", box_width=1.5)
+    model = SDWModel(cfg)
+    p = DriverConfig(sweeps=300, thermalization=60, jk_blocks=8,
+                     outdir=str(tmp_path / "pt"), n_walkers=4, seed=5,
+                     block_meas=50)
+    qmc = DetQMCPT(model, r_grid, p, PTConfig(exchange_interval=1))
+    results = qmc.run()
+
+    phi2 = [results[k]["phiSquared"][0] for k in range(4)]
+    errs = [results[k]["phiSquared"][1] for k in range(4)]
+    # monotone decrease with r
+    assert phi2[0] > phi2[-1]
+    assert (tmp_path / "pt" / "p0" / "results.values").exists()
+    assert (tmp_path / "pt" / "exchange-rates.dat").exists()
+
+    # cross-check r = 2.1 against an independent single-parameter run
+    cfg1 = SDWConfig(L=2, opdim=2, r=2.1, u=0.5, beta=2.0, m=8, s=2,
+                     turnoffFermions=True, dtype="float64", box_width=1.5)
+    from detqmc_tpu.driver import DetQMC
+    single = DetQMC(SDWModel(cfg1),
+                    DriverConfig(sweeps=300, thermalization=60,
+                                 jk_blocks=8, n_walkers=4, seed=11,
+                                 block_meas=50))
+    res1 = single.run()
+    tol = 5 * np.hypot(errs[-1], res1["phiSquared"][1]) + 0.02
+    assert abs(phi2[-1] - res1["phiSquared"][0]) < tol
