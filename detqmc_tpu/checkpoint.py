@@ -19,20 +19,30 @@ import jax
 import numpy as np
 
 
+# state leaves that are cheap to rebuild from the field configuration and
+# are therefore never serialized (reference behavior: G and the UdV stacks
+# are reconstructed on load, SURVEY.md §6)
+RECOMPUTED = ("G", "stack", "stack_U", "stack_d", "stack_V",
+              "green_dev", "sv_min", "sv_max")
+
+
 def save_checkpoint(path: str, state, handler_state: Dict[str, np.ndarray],
                     manifest: Dict[str, Any]) -> None:
-    """Atomically write `<path>.npz` + `<path>.json`."""
+    """Atomically write `<path>.npz` + `<path>.json`.
+
+    Model-agnostic: every NamedTuple field of the walker state except the
+    RECOMPUTED ones is saved by name (Hubbard: field/sign/...; SDW:
+    phi/phase/box_width/r/...). PRNG keys are stored as raw key data.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays: Dict[str, np.ndarray] = {}
-    # minimal model state: field, key, sign, counters (stack/G rebuilt)
-    arrays["field"] = np.asarray(state.field)
-    arrays["key"] = np.asarray(jax.random.key_data(state.key))
-    arrays["sign"] = np.asarray(state.sign)
-    arrays["next_dir"] = np.asarray(state.next_dir)
-    arrays["sweeps_done"] = np.asarray(state.sweeps_done)
-    # model-specific extras (e.g. SDW phi-field proposal widths)
-    for name in getattr(state, "_checkpoint_extras", ()):  # pragma: no cover
-        arrays[name] = np.asarray(getattr(state, name))
+    for name in state._fields:
+        if name in RECOMPUTED:
+            continue
+        value = getattr(state, name)
+        if name == "key":
+            value = jax.random.key_data(value)
+        arrays[f"st/{name}"] = np.asarray(value)
     for k, v in handler_state.items():
         arrays[f"obs/{k}"] = v
     tmp = f"{path}.npz.tmp"
@@ -57,5 +67,22 @@ def load_checkpoint(path: str) -> Optional[Tuple[Dict[str, np.ndarray],
         manifest = json.load(f)
     handler = {k[len("obs/"):]: v for k, v in arrays.items()
                if k.startswith("obs/")}
-    state = {k: v for k, v in arrays.items() if not k.startswith("obs/")}
+    state = {k[len("st/"):]: v for k, v in arrays.items()
+             if k.startswith("st/")}
     return state, handler, manifest
+
+
+def restore_state(blank, arrays: Dict[str, np.ndarray]):
+    """Rebuild a walker-state NamedTuple from saved arrays: saved leaves
+    replace the blank's (dtype-cast to match); RECOMPUTED leaves keep the
+    blank's values until the model's refresh_from_field runs."""
+    import jax.numpy as jnp
+
+    updates = {}
+    for name, arr in arrays.items():
+        ref = getattr(blank, name)
+        if name == "key":
+            updates[name] = jax.random.wrap_key_data(jnp.asarray(arr))
+        else:
+            updates[name] = jnp.asarray(arr, ref.dtype)
+    return blank._replace(**updates)

@@ -142,16 +142,9 @@ class DetQMC:
                     sign=jnp.asarray(sgn, self.states.sign.dtype))
             return
         arrays, handler_arrays, manifest = loaded
-        keys = jax.random.wrap_key_data(jnp.asarray(arrays["key"]))
         blank = self._init_fn(jax.random.split(
             jax.random.key(self.p.seed), self.p.n_walkers))
-        restored = blank._replace(
-            field=jnp.asarray(arrays["field"], blank.field.dtype),
-            key=keys,
-            sign=jnp.asarray(arrays["sign"], blank.sign.dtype),
-            next_dir=jnp.asarray(arrays["next_dir"]),
-            sweeps_done=jnp.asarray(arrays["sweeps_done"]),
-        )
+        restored = ckpt_mod.restore_state(blank, arrays)
         self.states = self._refresh_fn(restored)
         self.handler.load_state_dict(handler_arrays)
         self.measurements_done = int(manifest.get("measurements_done", 0))

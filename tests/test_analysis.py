@@ -1,0 +1,135 @@
+"""Analysis toolchain: deteval, tauint CLI, jointimeseries, binarystream,
+sdwcorr, and the Ferrenberg-Swendsen reweighting against exact toys."""
+
+import numpy as np
+import pytest
+
+from detqmc_tpu.analysis.deteval import evaluate_run, main as deteval_main
+from detqmc_tpu.analysis.jointimeseries import join
+from detqmc_tpu.analysis.mrpt import (
+    MultireweightPT,
+    find_binder_intersection,
+    jackknife_reweighted,
+)
+from detqmc_tpu.analysis.sdwcorr import phi_correlations
+from detqmc_tpu.io.binarystream import (
+    BinaryStreamWriter,
+    extract_doubles,
+    read_binarystream,
+)
+from detqmc_tpu.io.series import SeriesWriter, load_results, load_series
+from detqmc_tpu.metadata import write_metadata
+
+
+def test_deteval_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    rundir = str(tmp_path)
+    w = SeriesWriter(f"{rundir}/energy.series", "energy")
+    w.append(rng.normal(-1.5, 0.1, 2000))
+    write_metadata(f"{rundir}/info.dat", {"L": "4"})
+    res = evaluate_run(rundir, discard=100, jk_blocks=10)
+    mean, err, tau = res["energy"]
+    assert mean == pytest.approx(-1.5, abs=0.02)
+    assert 0 < err < 0.02
+    assert deteval_main([rundir]) == 0
+    out = load_results(f"{rundir}/eval-results.values")
+    assert "energy" in out
+
+
+def test_jointimeseries(tmp_path):
+    a = str(tmp_path / "a.series")
+    b = str(tmp_path / "b.series")
+    SeriesWriter(a, "x", meta={"L": "4"}).append(np.arange(3.0))
+    SeriesWriter(b, "x").append(np.arange(3.0, 5.0))
+    out = str(tmp_path / "joined.series")
+    n = join(out, [a, b])
+    assert n == 5
+    arr, meta = load_series(out)
+    np.testing.assert_allclose(arr, [0, 1, 2, 3, 4])
+    assert meta["L"] == "4"
+
+
+def test_binarystream_roundtrip(tmp_path):
+    p = str(tmp_path / "phi.binarystream")
+    w = BinaryStreamWriter(p, (2, 4, 3))
+    data = np.arange(48.0).reshape(2, 2, 4, 3)
+    w.append(data[0])
+    w.append(data[1])
+    back = read_binarystream(p)
+    np.testing.assert_allclose(back, data)
+    raw = extract_doubles(p, start=1, count=3)
+    np.testing.assert_allclose(raw, [1.0, 2.0, 3.0])
+
+
+def test_sdwcorr_uniform_field():
+    """A constant field has all weight at q=0."""
+    L, m, op = 4, 3, 2
+    phi = np.ones((5, m, L * L, op))
+    out = phi_correlations(phi, L)
+    assert out["struct_k"][0, 0] == pytest.approx(L * L * op)
+    assert abs(out["struct_k"][1, 0]) < 1e-10
+    np.testing.assert_allclose(out["corr_r"], op, atol=1e-10)
+
+
+def _exact_exp_mean(r, A):
+    """<a> for p(a) ~ exp(-r a) on [0, A]."""
+    if abs(r) < 1e-12:
+        return A / 2
+    return 1.0 / r - A / (np.exp(r * A) - 1.0)
+
+
+def _sample_exp(rng, r, A, n):
+    """Inverse-CDF samples from p(a) ~ exp(-r a) on [0, A]."""
+    u = rng.random(n)
+    if abs(r) < 1e-12:
+        return u * A
+    return -np.log(1.0 - u * (1.0 - np.exp(-r * A))) / r
+
+
+def test_mrpt_reweighting_exact_toy():
+    """FS reweighting across three r values reproduces the analytic
+    <a>(r) at interpolated targets."""
+    rng = np.random.default_rng(1)
+    A = 3.0
+    r_values = [0.5, 1.0, 2.0]
+    actions = [_sample_exp(rng, r, A, 40000) for r in r_values]
+    obs = {"a": [a.copy() for a in actions],
+           "a2": [a ** 2 for a in actions]}
+    m = MultireweightPT(np.asarray(r_values), actions, obs)
+    m.solve()
+    for r_t in (0.7, 1.5, 1.0):
+        got = m.expectation("a", r_t)
+        assert got == pytest.approx(_exact_exp_mean(r_t, A), abs=0.02), r_t
+    # free energies match analytic log Z ratios: Z(r) = (1-e^{-rA})/r
+    logZ = np.log((1 - np.exp(-np.asarray(r_values) * A))
+                  / np.asarray(r_values))
+    expected_f = -(logZ - logZ[0])
+    np.testing.assert_allclose(m.f, expected_f, atol=0.02)
+
+
+def test_mrpt_jackknife_and_binder():
+    rng = np.random.default_rng(2)
+    A = 3.0
+    r_values = [0.5, 1.5]
+    actions = [_sample_exp(rng, r, A, 20000) for r in r_values]
+    obs = {"phiSquared": [a.copy() for a in actions],
+           "phiFourth": [a ** 2 * 2.5 for a in actions]}
+    est, err = jackknife_reweighted(
+        r_values, actions, obs,
+        lambda m: m.expectation("phiSquared", 1.0), n_blocks=8)
+    assert est == pytest.approx(_exact_exp_mean(1.0, A), abs=0.03)
+    assert 0 < err < 0.05
+
+    # Binder intersection of two synthetic "sizes" with known crossing
+    m1 = MultireweightPT(np.asarray(r_values),
+                         [a.copy() for a in actions],
+                         {"phiSquared": [a.copy() for a in actions],
+                          "phiFourth": [a ** 2 * 2.0 for a in actions]})
+    m2 = MultireweightPT(np.asarray(r_values),
+                         [a.copy() for a in actions],
+                         {"phiSquared": [a.copy() for a in actions],
+                          "phiFourth": [a ** 2 * 2.6 for a in actions]})
+    m1.solve()
+    m2.solve()
+    # U1 - U2 = (2.6 - 2.0)/3 * <a^2>/<a>^2 > 0 everywhere -> no crossing
+    assert find_binder_intersection(m1, m2, 0.6, 1.4) is None

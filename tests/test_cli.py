@@ -1,0 +1,56 @@
+"""CLI binaries end to end (reference L7: conf files + flags -> run ->
+results; SURVEY.md §3 "CLI mains")."""
+
+import numpy as np
+import pytest
+
+from detqmc_tpu.cli.main_hubbard import main as hubbard_main
+from detqmc_tpu.cli.main_pt_sdw import main as pt_main
+from detqmc_tpu.cli.main_sdw import main as sdw_main
+from detqmc_tpu.io.series import load_results
+
+
+def test_hubbard_cli_conf_file(tmp_path, capsys):
+    conf = tmp_path / "sim.conf"
+    conf.write_text(
+        "# 4-site smoke config\n"
+        "L = 2\nU = 4.0\nbeta = 2.0\ndtau = 0.1\ns = 4\n"
+        "sweeps = 20\nthermalization = 5\nwalkers = 2\n"
+        f"outdir = {tmp_path}/run\njkBlocks = 4\ndtype = float64\n")
+    rc = hubbard_main(["--conf", str(conf), "--rngSeed", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "occupancy" in out
+    res = load_results(str(tmp_path / "run" / "results.values"))
+    assert res["occupancy"][0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hubbard_cli_unknown_key():
+    assert hubbard_main(["--bogus", "1"]) == 2
+
+
+def test_hubbard_cli_inconsistent_time_grid():
+    assert hubbard_main(["beta=4", "m=10", "dtau=0.3"]) == 2
+
+
+def test_sdw_cli(tmp_path, capsys):
+    rc = sdw_main([
+        "L=2", "opdim=2", "r=1.0", "beta=1.0", "m=4", "s=2",
+        "sweeps=10", "thermalization=4", "walkers=2", "dtype=float64",
+        "turnoffFermions=true",
+    ])
+    assert rc == 0
+    assert "phiSquared" in capsys.readouterr().out
+
+
+def test_pt_sdw_cli(tmp_path, capsys):
+    rc = pt_main([
+        "L=2", "opdim=1", "r=0.5", "beta=1.0", "m=4", "s=2",
+        "sweeps=8", "thermalization=4", "dtype=float64",
+        "turnoffFermions=true", "values=0.0,1.0", "exchangeInterval=2",
+        f"outdir={tmp_path}/pt",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "parameter 0" in out and "parameter 1" in out
+    assert (tmp_path / "pt" / "exchange-rates.dat").exists()
