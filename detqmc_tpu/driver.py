@@ -48,6 +48,13 @@ class DriverConfig:
     n_walkers: int = 1
     seed: int = 0
     block_meas: int = 25           # measurements per device block
+    timedisplaced: bool = False    # unequal-time G(k, tau) once per block
+    # adaptive proposal-width tuning during thermalization (models whose
+    # state carries box_width; reference: updateInSliceThermalization's
+    # acceptance-ratio targeting)
+    target_acc_ratio: float = 0.5
+    tune_proposals: bool = True
+    dump_config_stream: bool = False  # phi .binarystream dumps per block
 
     @property
     def n_measurements(self) -> int:
@@ -71,6 +78,7 @@ class DetQMC:
         self.therm_done = 0
         self._t_start = time.time()
         self._stopped_early = False
+        self._phi_stream = None
 
         # vmapped device programs, compiled lazily on first use
         vm = jax.vmap
@@ -79,10 +87,10 @@ class DetQMC:
 
         def therm_block(states, n_pairs):
             def body(st, _):
-                st, _obs = model.sweep_pair(st, measure=False)
-                return st, None
-            states, _ = jax.lax.scan(body, states, None, length=n_pairs)
-            return states
+                st, obs = model.sweep_pair(st, measure=False)
+                return st, obs.acceptance
+            states, acc = jax.lax.scan(body, states, None, length=n_pairs)
+            return states, acc.mean()
 
         def meas_block(states):
             def one_measurement(st, _):
@@ -101,6 +109,10 @@ class DetQMC:
         self._therm_block = jax.jit(vm(therm_block, in_axes=(0, None)),
                                     static_argnums=1)
         self._meas_block = jax.jit(vm(meas_block))
+        self._timedisp_fn = None
+        if params.timedisplaced and hasattr(model,
+                                            "measure_time_displaced"):
+            self._timedisp_fn = jax.jit(vm(model.measure_time_displaced))
 
         self.states = None
 
@@ -187,9 +199,21 @@ class DetQMC:
         while self.therm_done < self.p.thermalization:
             n = min(block, self.p.thermalization - self.therm_done)
             with timing("thermalization"):
-                self.states = self._therm_block(self.states, n)
+                self.states, acc = self._therm_block(self.states, n)
                 jax.block_until_ready(self.states.G)
             self.therm_done += n
+            # adaptive proposal-width tuning (reference:
+            # updateInSliceThermalization targeting accRatio): multiply
+            # widths toward the target between device blocks, keeping the
+            # compiled program static
+            if (self.p.tune_proposals
+                    and hasattr(self.states, "box_width")):
+                rate = np.asarray(acc)
+                factor = np.clip(rate / self.p.target_acc_ratio, 0.5, 2.0)
+                new_w = np.asarray(self.states.box_width) * factor
+                self.states = self.states._replace(
+                    box_width=jnp.asarray(new_w,
+                                          self.states.box_width.dtype))
             if self._out_of_time(margin=(t_block or 0.0)):
                 self.save()
                 self._stopped_early = True
@@ -206,7 +230,19 @@ class DetQMC:
             # device layout: (W, T, ...) -> handler wants (T, W, ...)
             batch = {k: np.swapaxes(np.asarray(v), 0, 1)[:n_new]
                      for k, v in obs._asdict().items()}
+            if self._timedisp_fn is not None:
+                gk = np.asarray(self._timedisp_fn(self.states))  # (W,K+1,N)
+                batch["greenKTauVector"] = gk.reshape(
+                    1, gk.shape[0], -1)  # one sample per block
             self.handler.insert_batch(batch)
+            if self.p.dump_config_stream and self.p.outdir and \
+                    hasattr(self.states, "phi"):
+                from detqmc_tpu.io.binarystream import BinaryStreamWriter
+                phi = np.asarray(self.states.phi)
+                if self._phi_stream is None:
+                    self._phi_stream = BinaryStreamWriter(
+                        f"{self.p.outdir}/phi.binarystream", phi.shape[1:])
+                self._phi_stream.append(phi)
             self.measurements_done += n_new
             if (self.p.save_interval and self.measurements_done %
                     self.p.save_interval < self.p.block_meas):

@@ -219,6 +219,47 @@ def green_from_udv(f: UDV) -> jax.Array:
     return green_from_two_udv(f, eye_t)
 
 
+def green_tau_zero(left: UDV, right_t: UDV, compute_dtype=None
+                   ) -> jax.Array:
+    """Stable time-displaced G(tau, 0) = B(tau,0) [1 + B(beta,0)]^{-1}.
+
+    Via the identity A(1+CA)^{-1} = [A^{-1} + C]^{-1} with A = B(tau,0)
+    = U1 d1 V1 (left stack entry) and C = B(beta,tau) = V2^H d2 U2^H
+    (transposed right entry):
+
+        G(tau,0) = U2 [d1^{-1} U1^H U2 + (V1 V2^H) d2]^{-1} V1
+                 = U2 D2max^{-1} inner^{-1} (D1min V1)
+
+    where `inner` is EXACTLY the range-split matrix of the equal-time pair
+    formula — only the right-hand side and outer scalings differ. All
+    scalings stay bounded (d1min <= 1, 1/d2max <= 1).
+    (Reference parity: time-displaced Green support, SURVEY.md §3 "DQMC
+    core" and §9 "Unequal-time".)
+    """
+    out_dtype = left.U.dtype
+    if compute_dtype is not None and compute_dtype != out_dtype:
+        cast = lambda a: a.astype(compute_dtype)  # noqa: E731
+        rdt = jnp.finfo(compute_dtype).dtype
+        left = UDV(cast(left.U), left.d.astype(rdt), cast(left.V))
+        right_t = UDV(cast(right_t.U), right_t.d.astype(rdt),
+                      cast(right_t.V))
+    d1 = left.d.astype(left.U.real.dtype)
+    d2 = right_t.d.astype(left.U.real.dtype)
+    d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
+    d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
+    UhU = mm(_H(left.U), right_t.U)
+    VVh = mm(left.V, _H(right_t.V))
+    inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
+             + scale_cols(scale_rows(d1min, VVh), d2min))
+    g = udv_decompose(inner)
+    rhs = scale_rows(1.0 / g.d.astype(d1.dtype),
+                     mm(_H(g.U), scale_rows(d1min, left.V)))
+    mid = jax.lax.linalg.triangular_solve(
+        g.V, rhs.astype(g.V.dtype), left_side=True, lower=False)
+    G = mm(scale_cols(right_t.U, 1.0 / d2max), mid)
+    return G.astype(out_dtype)
+
+
 def log_det_one_plus_udv(f: UDV) -> Tuple[jax.Array, jax.Array]:
     """(log|det(1 + UdV)|, sign/phase) in the log domain.
 

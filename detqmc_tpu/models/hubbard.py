@@ -550,6 +550,70 @@ class HubbardModel:
         obs = jax.tree.map(lambda a, b: 0.5 * (a + b), obs1, obs2)
         return state, obs
 
+    # -- time-displaced Green functions ------------------------------------
+    def time_displaced_greens(self, field: jax.Array) -> jax.Array:
+        """G(tau=k*s, 0) for k = 0..K: (K+1, 2, N, N).
+
+        Builds both half-chain stacks fresh from the field and evaluates
+        all K+1 displaced Greens in one batched stable solve (reference:
+        TimeDisplaced=true template path, SURVEY.md §3 "DQMC core"; here
+        the tau-resolution is the stabilization grid)."""
+        cfg = self.cfg
+        N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
+        dt, sdt = cfg.jdtype, cfg.stab_jdtype
+        cb = cfg.checkerboard
+        eye_f = self._eye_mixed()
+
+        def build(transposed):
+            def interval(f_carry, k):
+                def absorb(lazy_U, l_rel):
+                    l = k * s_int - l_rel if transposed \
+                        else (k - 1) * s_int + 1 + l_rel
+                    e = self.exp_v(field[l - 1])
+                    if transposed:
+                        out = bchain.bT_mult_left(self.prop, e, lazy_U,
+                                                  checkerboard=cb)
+                    else:
+                        out = bchain.b_mult_left(self.prop, e, lazy_U,
+                                                 checkerboard=cb)
+                    return out, None
+
+                lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(dt),
+                                         jnp.arange(s_int))
+                f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
+                                     compose_dtype=sdt)
+                return f_new, f_new
+
+            ks = jnp.arange(K, 0, -1) if transposed else jnp.arange(1, K + 1)
+            _, emitted = jax.lax.scan(interval, eye_f, ks)
+            if transposed:  # positions K-1..0 emitted; identity at K
+                U = jnp.concatenate([jnp.flip(emitted.U, 0),
+                                     eye_f.U[None].astype(emitted.U.dtype)])
+                d = jnp.concatenate([jnp.flip(emitted.d, 0), eye_f.d[None]])
+                V = jnp.concatenate([jnp.flip(emitted.V, 0), eye_f.V[None]])
+            else:           # positions 1..K; identity at 0
+                U = jnp.concatenate([eye_f.U[None].astype(emitted.U.dtype),
+                                     emitted.U])
+                d = jnp.concatenate([eye_f.d[None], emitted.d])
+                V = jnp.concatenate([eye_f.V[None], emitted.V])
+            return UDV(U, d, V)
+
+        left = build(transposed=False)    # entries k: B_{ks}..B_1
+        right_t = build(transposed=True)  # entries k: (B_m..B_{ks+1})^H
+        from detqmc_tpu.linalg.udv import green_tau_zero
+
+        return green_tau_zero(left, right_t, compute_dtype=sdt)
+
+    def measure_time_displaced(self, state: WalkerState) -> jax.Array:
+        """Momentum-diagonal G(k, tau) on the stabilization grid:
+        (K+1, N) real (reference observable: time-displaced Green)."""
+        G_tau = self.time_displaced_greens(state.field)   # (K+1, 2, N, N)
+        F = jnp.asarray(self.lat.fourier_phases())
+        gk = jnp.einsum("kn,tcnm,mk->tck", F, G_tau.astype(jnp.complex64)
+                        if G_tau.dtype == jnp.float32 else
+                        G_tau.astype(jnp.complex128), jnp.conj(F).T)
+        return jnp.real(gk).mean(axis=1) / self.cfg.n_sites  # spin-avg
+
     # -- setup -------------------------------------------------------------------
     def init_state(self, key: jax.Array) -> WalkerState:
         """Random Hirsch field; build the right stack from scratch and the

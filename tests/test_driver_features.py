@@ -1,0 +1,42 @@
+"""Driver features: time-displaced measurement stream, adaptive proposal
+tuning, phi config dumps."""
+
+import numpy as np
+import pytest
+
+from detqmc_tpu.driver import DetQMC, DriverConfig
+from detqmc_tpu.io.binarystream import read_binarystream
+from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+
+def test_timedisplaced_measurement(tmp_path):
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64")
+    p = DriverConfig(sweeps=20, thermalization=5, n_walkers=2, seed=1,
+                     block_meas=10, timedisplaced=True,
+                     outdir=str(tmp_path / "run"), timeseries=True)
+    qmc = DetQMC(HubbardModel(cfg), p)
+    qmc.run()
+    vres = qmc.handler.vector_results()
+    assert "greenKTauVector" in vres
+    mean, err = vres["greenKTauVector"]
+    assert mean.shape == ((cfg.n_stack + 1) * cfg.n_sites,)
+    # tau=0 diagonal: filling 0.5 per spin at half filling -> G(k,0) sums
+    gk0 = mean[:cfg.n_sites]
+    assert gk0.mean() == pytest.approx(0.5, abs=0.1)
+
+
+def test_adaptive_tuning_and_phi_dump(tmp_path):
+    cfg = SDWConfig(L=2, opdim=2, r=1.0, u=0.5, beta=1.0, m=4, s=2,
+                    turnoffFermions=True, dtype="float64",
+                    box_width=20.0)  # absurd width -> low acceptance
+    p = DriverConfig(sweeps=20, thermalization=40, n_walkers=2, seed=2,
+                     block_meas=10, outdir=str(tmp_path / "run"),
+                     dump_config_stream=True, target_acc_ratio=0.5)
+    qmc = DetQMC(SDWModel(cfg), p)
+    qmc.run()
+    w = np.asarray(qmc.states.box_width)
+    assert (w < 20.0).all()  # tuned down toward the target acceptance
+    phi = read_binarystream(str(tmp_path / "run" / "phi.binarystream"))
+    assert phi.shape[1:] == (4, 4, 2)  # (m, N, opdim), stacked walkers
+    assert np.isfinite(phi).all()

@@ -1,0 +1,61 @@
+"""Unequal-time Green functions vs oracle and closed forms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+from tests.oracle.hubbard_oracle import HubbardOracle
+
+
+def test_free_fermion_time_displaced():
+    """U=0: G(tau,0) = expK^{tau/dtau} (1 + expK^m)^{-1} exactly."""
+    cfg = HubbardConfig(L=4, U=0.0, beta=2.0, m=20, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(0))
+    G_tau = np.asarray(model.time_displaced_greens(state.field))
+    expK = np.asarray(model.prop.expK, np.float64)
+    full = np.linalg.matrix_power(expK, cfg.m)
+    G0 = np.linalg.inv(np.eye(cfg.n_sites) + full)
+    for k in range(cfg.n_stack + 1):
+        expected = np.linalg.matrix_power(expK, k * cfg.s) @ G0
+        np.testing.assert_allclose(G_tau[k, 0], expected, atol=1e-10,
+                                   err_msg=f"k={k}")
+
+
+def test_interacting_time_displaced_vs_oracle():
+    """Fixed random field: G(tau,0) matches the naive fp64 product."""
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(1))
+    oracle = HubbardOracle(L=2, U=4.0, beta=2.0, m=16)
+    s_field = np.asarray(state.field)
+    G_tau = np.asarray(model.time_displaced_greens(state.field))
+    for comp, spin in [(0, +1), (1, -1)]:
+        full = oracle.b_chain(s_field, spin, 0, cfg.m)
+        G0 = np.linalg.inv(np.eye(cfg.n_sites) + full)
+        for k in range(cfg.n_stack + 1):
+            expected = oracle.b_chain(s_field, spin, 0, k * cfg.s) @ G0
+            np.testing.assert_allclose(
+                G_tau[k, comp], expected, atol=1e-8,
+                err_msg=f"k={k} spin={spin}")
+
+
+def test_gk_tau_properties():
+    """G(k, tau=0) diagonal equals the fourier equal-time occupancy and
+    values decay with tau at U=0 for k away from the Fermi surface."""
+    cfg = HubbardConfig(L=4, U=0.0, beta=4.0, m=40, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(2))
+    gk = np.asarray(model.measure_time_displaced(state))
+    assert gk.shape == (cfg.n_stack + 1, cfg.n_sites)
+    # at U=0: G(k, tau) = e^{-tau eps_k} / (1 + e^{-beta eps_k}), exact
+    K = model.lat.hopping_matrix(cfg.t)
+    # our k-grid diagonalizes K with eigenvalue eps_k = -2t(cos kx + cos ky)
+    kgrid = model.lat.k_grid()
+    eps = -2.0 * (np.cos(kgrid[:, 0]) + np.cos(kgrid[:, 1]))
+    for k_stack in range(cfg.n_stack + 1):
+        tau = k_stack * cfg.s * cfg.dtau
+        expected = np.exp(-tau * eps) / (1.0 + np.exp(-cfg.beta * eps))
+        np.testing.assert_allclose(gk[k_stack], expected, atol=1e-9)
