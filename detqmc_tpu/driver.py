@@ -92,6 +92,8 @@ class DetQMC:
             states, acc = jax.lax.scan(body, states, None, length=n_pairs)
             return states, acc.mean()
 
+        do_global = getattr(model, "has_global_moves", False)
+
         def meas_block(states):
             def one_measurement(st, _):
                 def pair(st2, _):
@@ -101,6 +103,8 @@ class DetQMC:
                     st, _ = jax.lax.scan(pair, st, None,
                                          length=params.measure_interval - 1)
                 st, obs = model.sweep_pair(st, measure=True)
+                if do_global:
+                    st = model.global_moves(st)
                 return st, obs
             states, obs = jax.lax.scan(one_measurement, states, None,
                                        length=params.block_meas)

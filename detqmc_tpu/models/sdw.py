@@ -573,6 +573,101 @@ class SDWModel:
         st = state._replace(phi=phi, key=key)
         return self.refresh_from_field(st), accept
 
+    def attempt_wolff_update(self, state: SDWState):
+        """Embedded O(n) Wolff cluster reflection (reference:
+        attemptWolffClusterUpdate, SURVEY.md §9 "Wolff").
+
+        A random reflection axis e is drawn; the cluster grows over
+        space-time bonds with the bosonic bond probabilities
+            p = 1 - exp(min(0, -2 K_bond s_i s_j)),  s = phi . e,
+        K_spatial = dtau, K_temporal = 1/(c^2 dtau). The r- and u-terms are
+        reflection-invariant, so only the fermion determinant enters the
+        Metropolis accept (full stabilized recompute, like the reference).
+
+        TPU-shaped: the data-dependent cluster growth is a bounded
+        ``lax.while_loop`` frontier expansion on (m, N) boolean masks —
+        each iteration processes ALL frontier bonds at once.
+        """
+        cfg = self.cfg
+        m, N = cfg.m, cfg.n_sites
+        key, k_axis, k_seed, k_bonds, k_acc = jax.random.split(state.key, 5)
+        # reflection axis
+        e = jax.random.normal(k_axis, (cfg.opdim,), dtype=cfg.jdtype)
+        e = e / jnp.sqrt(jnp.sum(e ** 2))
+        s = jnp.einsum("lno,o->ln", state.phi, e)          # (m, N)
+        seed = jax.random.randint(k_seed, (2,), 0,
+                                  jnp.asarray([m, N]))
+        in_cluster = jnp.zeros((m, N), bool).at[seed[0], seed[1]].set(True)
+
+        k_sp = cfg.dtau
+        k_tau = 1.0 / (cfg.c ** 2 * cfg.dtau)
+        nb = self.nb                                        # (N, 4)
+
+        def neighbors_of(mask):
+            """For each of 6 directions: the set reachable from `mask` and
+            the bond coupling."""
+            outs = []
+            for d in range(4):                              # spatial
+                outs.append((mask[:, nb[:, d]], k_sp))
+            outs.append((jnp.roll(mask, 1, axis=0), k_tau))   # tau +
+            outs.append((jnp.roll(mask, -1, axis=0), k_tau))  # tau -
+            return outs
+
+        def body(carry):
+            in_c, frontier, key = carry
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (6, m, N), dtype=cfg.jdtype)
+            new = jnp.zeros((m, N), bool)
+            for d, (reach, kb) in enumerate(neighbors_of(frontier)):
+                # bond (x in frontier) -- (y here): s_x values arrive
+                # aligned with y via the same neighbor map
+                if d < 4:
+                    s_from = s[:, nb[:, d]]
+                elif d == 4:
+                    s_from = jnp.roll(s, 1, axis=0)
+                else:
+                    s_from = jnp.roll(s, -1, axis=0)
+                p = 1.0 - jnp.exp(jnp.minimum(0.0, -2.0 * kb * s * s_from))
+                add = reach & (~in_c) & (u[d] < p)
+                new = new | add
+            return in_c | new, new & (~in_c), key
+
+        def cond(carry):
+            _in_c, frontier, _key = carry
+            return frontier.any()
+
+        in_cluster, _, key = jax.lax.while_loop(
+            cond, body, (in_cluster, in_cluster, k_bonds))
+
+        # reflect: phi -> phi - 2 (phi.e) e inside the cluster
+        refl = state.phi - 2.0 * s[..., None] * e[None, None, :]
+        phi_new = jnp.where(in_cluster[..., None], refl, state.phi)
+
+        if cfg.turnoffFermions:
+            accept = jnp.asarray(True)
+        else:
+            ld_old, _ = self._chain_logdet(state.phi)
+            ld_new, _ = self._chain_logdet(phi_new)
+            accept = jnp.log(jax.random.uniform(
+                k_acc, (), dtype=cfg.jdtype)) < (ld_new - ld_old)
+        phi = jnp.where(accept, phi_new, state.phi)
+        st = state._replace(phi=phi, key=key)
+        return self.refresh_from_field(st), accept, in_cluster.sum()
+
+    def global_moves(self, state: SDWState) -> SDWState:
+        """Configured global updates (reference: run every
+        globalUpdateInterval sweeps; here the driver applies them once per
+        measurement interval)."""
+        if self.cfg.globalShift:
+            state, _ = self.attempt_global_shift(state)
+        if self.cfg.wolffClusterUpdate:
+            state, _, _ = self.attempt_wolff_update(state)
+        return state
+
+    @property
+    def has_global_moves(self) -> bool:
+        return self.cfg.globalShift or self.cfg.wolffClusterUpdate
+
     def _chain_logdet(self, phi):
         """log|det(1 + B_m...B_1)| via the factored chain."""
         from detqmc_tpu.linalg.udv import log_det_one_plus_udv
