@@ -61,15 +61,25 @@ def _pick_divisor(n: int, cap: int) -> int:
     return 1
 
 
-def _kernel(field_ref, u01_ref, Gu_in, Gd_in, Gut_in, Gdt_in, sign_in,
-            field_out, Gu, Gd, Gut, Gdt, sign_ref, acc_ref,
-            Uu, Wu, Ud, Wd,
-            *, alpha: float, n_sites: int, kd: int):
+def _kernel(*refs, alpha: float, n_sites: int, kd: int, ncomp: int):
+    # refs layout: [field, u01, G_in x ncomp, Gt_in x ncomp, sign_in,
+    #               field_out, G x ncomp, Gt x ncomp, sign, acc,
+    #               (U, W) scratch x ncomp]
+    it = iter(refs)
+    field_ref, u01_ref = next(it), next(it)
+    G_in = [next(it) for _ in range(ncomp)]
+    Gt_in = [next(it) for _ in range(ncomp)]
+    sign_in = next(it)
+    field_out = next(it)
+    Gs = [next(it) for _ in range(ncomp)]
+    Gts = [next(it) for _ in range(ncomp)]
+    sign_ref, acc_ref = next(it), next(it)
+    Ubufs = [next(it) for _ in range(ncomp)]
+    Wbufs = [next(it) for _ in range(ncomp)]
     field_out[...] = field_ref[...]
-    Gu[...] = Gu_in[...]
-    Gd[...] = Gd_in[...]
-    Gut[...] = Gut_in[...]
-    Gdt[...] = Gdt_in[...]
+    for c in range(ncomp):
+        Gs[c][...] = G_in[c][...]
+        Gts[c][...] = Gt_in[c][...]
     sign_ref[...] = sign_in[...]
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -78,10 +88,9 @@ def _kernel(field_ref, u01_ref, Gu_in, Gd_in, Gut_in, Gdt_in, sign_in,
     dnums = (((1,), (1,)), ((0,), (0,)))  # contract k, batch tile
 
     def block_step(b, _):
-        Uu[...] = jnp.zeros_like(Uu)
-        Wu[...] = jnp.zeros_like(Wu)
-        Ud[...] = jnp.zeros_like(Ud)
-        Wd[...] = jnp.zeros_like(Wd)
+        for c in range(ncomp):
+            Ubufs[c][...] = jnp.zeros_like(Ubufs[c])
+            Wbufs[c][...] = jnp.zeros_like(Wbufs[c])
 
         def site_step(j, _):
             i = b * kd + j
@@ -93,9 +102,9 @@ def _kernel(field_ref, u01_ref, Gu_in, Gd_in, Gut_in, Gdt_in, sign_in,
             eff = []
             deltas = []
             ratios = []
-            for c, (sgn, Gc, Gct, Ub, Wb) in (
-                    (0, (1.0, Gu, Gut, Uu, Wu)),
-                    (1, (-1.0, Gd, Gdt, Ud, Wd))):
+            for c in range(ncomp):
+                sgn = 1.0 if c == 0 else -1.0
+                Gc, Gct, Ub, Wb = Gs[c], Gts[c], Ubufs[c], Wbufs[c]
                 # effective row/col i of G including pending buffer updates
                 g_row0 = Gc[:, pl.ds(i, 1), :]               # (T, 1, N)
                 g_col0 = Gct[:, pl.ds(i, 1), :]
@@ -110,10 +119,16 @@ def _kernel(field_ref, u01_ref, Gu_in, Gd_in, Gut_in, Gdt_in, sign_in,
                 eff.append((g_row, g_col))
                 deltas.append(delta)
                 ratios.append(1.0 + delta * (1.0 - gii))
-            r_tot = ratios[0] * ratios[1]                    # (T, 1, 1)
+            if ncomp == 1:
+                # particle-hole symmetric half filling:
+                # R_dn = R_up / (1 + delta_up)
+                r_tot = ratios[0] * ratios[0] / (1.0 + deltas[0])
+            else:
+                r_tot = ratios[0] * ratios[1]                # (T, 1, 1)
             gate = (u_i < jnp.abs(r_tot)).astype(frow.dtype)
 
-            for c, (Ub, Wb) in ((0, (Uu, Wu)), (1, (Ud, Wd))):
+            for c in range(ncomp):
+                Ub, Wb = Ubufs[c], Wbufs[c]
                 coef = gate * (-deltas[c] / ratios[c])       # (T, 1, 1)
                 g_row, g_col = eff[c]
                 Ub[:, pl.ds(j, 1), :] = coef * g_col
@@ -128,7 +143,8 @@ def _kernel(field_ref, u01_ref, Gu_in, Gd_in, Gut_in, Gdt_in, sign_in,
                           unroll=False)
 
         # flush: G += sum_k u_k (x) w_k   (one MXU contraction per matrix)
-        for Gc, Gct, Ub, Wb in ((Gu, Gut, Uu, Wu), (Gd, Gdt, Ud, Wd)):
+        for c in range(ncomp):
+            Gc, Gct, Ub, Wb = Gs[c], Gts[c], Ubufs[c], Wbufs[c]
             Gc[...] += jax.lax.dot_general(
                 Ub[...], Wb[...], dnums,
                 preferred_element_type=jnp.float32).astype(Gc.dtype)
@@ -142,15 +158,14 @@ def _kernel(field_ref, u01_ref, Gu_in, Gd_in, Gut_in, Gdt_in, sign_in,
 
 
 def _call_batched(G, field_l, u01, sign, *, alpha, interpret):
-    """Explicit-grid batched kernel call. G: (W,2,N,N), field/u01: (W,N),
-    sign: (W,)."""
-    W, _, n, _ = G.shape
+    """Explicit-grid batched kernel call. G: (W,ncomp,N,N), field/u01:
+    (W,N), sign: (W,). ncomp = 1 is the particle-hole-symmetric mode."""
+    W, ncomp, n, _ = G.shape
     dt = G.dtype
     T = _pick_divisor(W, MAX_TILE)
     kd = _pick_divisor(n, MAX_DELAY)
-    Gu, Gd = G[:, 0], G[:, 1]
-    Gut = jnp.swapaxes(Gu, -1, -2)
-    Gdt = jnp.swapaxes(Gd, -1, -2)
+    Gcs = [G[:, c] for c in range(ncomp)]
+    Gcts = [jnp.swapaxes(Gc, -1, -2) for Gc in Gcs]
     f3 = field_l[:, None, :]
     u3 = u01[:, None, :]
     s3 = sign.astype(dt)[:, None, None]
@@ -161,31 +176,30 @@ def _call_batched(G, field_l, u01, sign, *, alpha, interpret):
                             lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
     scl = functools.partial(pl.BlockSpec, (T, 1, 1),
                             lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((W, 1, n), dt),     # field
-        jax.ShapeDtypeStruct((W, n, n), dt),     # Gu
-        jax.ShapeDtypeStruct((W, n, n), dt),     # Gd
-        jax.ShapeDtypeStruct((W, n, n), dt),     # Gut (discarded)
-        jax.ShapeDtypeStruct((W, n, n), dt),     # Gdt (discarded)
-        jax.ShapeDtypeStruct((W, 1, 1), dt),     # sign
-        jax.ShapeDtypeStruct((W, 1, 1), dt),     # acc count
-    )
+    matNN = jax.ShapeDtypeStruct((W, n, n), dt)
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((W, 1, n), dt)]         # field
+        + [matNN] * (2 * ncomp)                       # G, Gt per component
+        + [jax.ShapeDtypeStruct((W, 1, 1), dt)] * 2)  # sign, acc
     # trace/lower the kernel with x64 semantics OFF: all kernel dtypes are
     # explicit f32, but global x64 mode flips Mosaic's index defaults to
     # 64-bit, which fails to legalize ("func.return") on this toolchain
     with jax.enable_x64(False):
         outs = pl.pallas_call(
-            functools.partial(_kernel, alpha=alpha, n_sites=n, kd=kd),
+            functools.partial(_kernel, alpha=alpha, n_sites=n, kd=kd,
+                              ncomp=ncomp),
             grid=(W // T,),
             out_shape=out_shapes,
-            in_specs=[vec(), vec(), mat(), mat(), mat(), mat(), scl()],
-            out_specs=(vec(), mat(), mat(), mat(), mat(), scl(), scl()),
+            in_specs=[vec(), vec()] + [mat()] * (2 * ncomp) + [scl()],
+            out_specs=tuple([vec()] + [mat()] * (2 * ncomp)
+                            + [scl(), scl()]),
             scratch_shapes=[pltpu.VMEM((T, kd, n), jnp.float32)
-                            for _ in range(4)],
+                            for _ in range(2 * ncomp)],
             interpret=interpret,
-        )(f3, u3, Gu, Gd, Gut, Gdt, s3)
-    field_o, Gu_o, Gd_o, _, _, sign_o, acc_o = outs
-    G_o = jnp.stack([Gu_o, Gd_o], axis=1)
+        )(f3, u3, *Gcs, *Gcts, s3)
+    field_o = outs[0]
+    G_o = jnp.stack(outs[1:1 + ncomp], axis=1)
+    sign_o, acc_o = outs[-2], outs[-1]
     acc_rate = acc_o[:, 0, 0] / jnp.asarray(n, dt)
     return G_o, field_o[:, 0], sign_o[:, 0, 0], acc_rate
 

@@ -186,7 +186,6 @@ def green_from_two_udv_df32(left: UDV, right_t: UDV,
     (hi, lo) pairs for the kernel, and the O(1)-conditioned outer matmuls
     stay plain f32 on the MXU. Output: f32 G.
     """
-    from detqmc_tpu.linalg import df32 as _df
     from detqmc_tpu.linalg.pallas_green import solve_inner
 
     f64 = jnp.float64
@@ -197,15 +196,25 @@ def green_from_two_udv_df32(left: UDV, right_t: UDV,
     d2 = right_t.d.astype(f64)
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
     d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
+    # Hybrid assembly: the two cross matmuls stay f32 on the MXU (their
+    # entries only carry f32 relative accuracy anyway), while the d-range
+    # scalings and the sum — where the e^{+-beta W} grading enters — run
+    # as cheap f64 elementwise ops, then split to an f32 (hi, lo) pair for
+    # the kernel. (A fully-f32 assembly costs ~5x in G accuracy; a fully
+    # f64 one costs ~20% of the green time in emulated-f64 matmul latency.)
+    from detqmc_tpu.linalg import df32 as _df
+
     UhU = mm(_H(U1), U2).astype(f64)
+    # V1 V2^H must stay f64: the composed stack V factors carry real
+    # beyond-f32 information (measured: f32 here costs 5x in G accuracy)
     VVh = mm(left.V.astype(f64), _H(right_t.V.astype(f64)))
     inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
              + scale_cols(scale_rows(d1min, VVh), d2min))
     hi, lo = _df.from_f64(inner)
-    r1 = (1.0 / d1max).astype(f32)
-    mid = solve_inner(hi, lo, r1, interpret=interpret)
-    r2 = (1.0 / d2max).astype(f32)
-    return mm(scale_cols(U2, r2), mm(mid, _H(U1)))
+    r1max = (1.0 / d1max).astype(f32)
+    r2max = (1.0 / d2max).astype(f32)
+    mid = solve_inner(hi, lo, r1max, interpret=interpret)
+    return mm(scale_cols(U2, r2max), mm(mid, _H(U1)))
 
 
 def green_from_udv(f: UDV) -> jax.Array:

@@ -69,6 +69,11 @@ class HubbardConfig:
     s: int = 8                  # stabilization interval (slices per UdV)
     checkerboard: bool = False
     delay: int = 0              # 0 = plain rank-1 SM updates; k>0 = delayed
+    # particle-hole symmetry at half filling (mu = 0): the down sector is
+    # exactly G_dn = eta (1 - G_up^T) eta and R_dn = e^{2 alpha s} R_up, so
+    # only ONE spin sector is simulated — halving every matrix operation.
+    # "auto": on iff mu == 0; "on"/"off" force.
+    ph_symmetry: str = "auto"
     # "auto": fused Pallas slice kernel on TPU (f32), lax.scan elsewhere;
     # "scan" / "pallas" force a path (pallas requires float32)
     update_kernel: str = "auto"
@@ -105,6 +110,18 @@ class HubbardConfig:
     @property
     def alpha(self) -> float:
         return float(np.arccosh(np.exp(self.dtau * self.U / 2.0)))
+
+    @property
+    def ph_on(self) -> bool:
+        if self.ph_symmetry == "auto":
+            return self.mu == 0.0
+        if self.ph_symmetry in ("on", "off"):
+            return self.ph_symmetry == "on"
+        raise ValueError(f"bad ph_symmetry {self.ph_symmetry!r}")
+
+    @property
+    def ncomp(self) -> int:
+        return 1 if self.ph_on else 2
 
     @property
     def jdtype(self):
@@ -189,7 +206,10 @@ class HubbardModel:
             self.lat, cfg.t, cfg.dtau, cfg.mu, dtype=dt,
             checkerboard=cfg.checkerboard)
         self.K_mat = jnp.asarray(self.lat.hopping_matrix(cfg.t), dt)
-        self.spin_sign = jnp.asarray(SPIN_SIGN, dt)
+        if cfg.ph_on and cfg.mu != 0.0:
+            raise ValueError("ph_symmetry='on' requires mu == 0")
+        self.ncomp = cfg.ncomp
+        self.spin_sign = jnp.asarray(SPIN_SIGN[:self.ncomp], dt)
         # displacement table for translation-averaged correlations:
         # disp_idx[d, i] = site index of (r_i + r_d)
         N = cfg.n_sites
@@ -249,14 +269,15 @@ class HubbardModel:
         dtype (the stack layout: U carries no scale, d/V carry the chain's
         dynamic range — see linalg.udv.udv_refactor)."""
         N, dt, sdt = self.cfg.n_sites, self.cfg.jdtype, self.cfg.stab_jdtype
-        eye_dt = jnp.broadcast_to(jnp.eye(N, dtype=dt), (2, N, N))
-        eye_sdt = jnp.broadcast_to(jnp.eye(N, dtype=sdt), (2, N, N))
-        d = jnp.ones((2, N), jnp.finfo(sdt).dtype)
+        C = self.ncomp
+        eye_dt = jnp.broadcast_to(jnp.eye(N, dtype=dt), (C, N, N))
+        eye_sdt = jnp.broadcast_to(jnp.eye(N, dtype=sdt), (C, N, N))
+        d = jnp.ones((C, N), jnp.finfo(sdt).dtype)
         return UDV(eye_dt, d, eye_sdt)
 
     # -- potential diagonals ------------------------------------------------
     def exp_v(self, field_slice: jax.Array) -> jax.Array:
-        """e_l = exp(spin * alpha * s_l): shape (2, N) from (N,)."""
+        """e_l = exp(spin * alpha * s_l): (ncomp, N) from (N,)."""
         return jnp.exp(self.spin_sign[:, None] * self.cfg.alpha
                        * field_slice[None, :])
 
@@ -275,8 +296,12 @@ class HubbardModel:
             s_i = field_l[i]
             delta = jnp.exp(-2.0 * ss * alpha * s_i) - 1.0        # (2,)
             Gii = G[:, i, i]
-            R = 1.0 + delta * (1.0 - Gii)                          # (2,)
-            Rtot = R[0] * R[1]
+            R = 1.0 + delta * (1.0 - Gii)                     # (ncomp,)
+            if self.cfg.ph_on:
+                # R_dn = e^{2 alpha s} R_up = R_up / (1 + delta_up)
+                Rtot = R[0] * R[0] / (1.0 + delta[0])
+            else:
+                Rtot = R[0] * R[1]
             accept = u01[i] < jnp.abs(Rtot)
             coef = jnp.where(accept, delta / R, 0.0)               # (2,)
             u = G[:, :, i]                                         # (2, N)
@@ -311,8 +336,8 @@ class HubbardModel:
 
         def block_step(carry, b):
             G, field_l, sign = carry
-            Ubuf = jnp.zeros((2, N, kd), G.dtype)
-            Wbuf = jnp.zeros((2, kd, N), G.dtype)
+            Ubuf = jnp.zeros((self.ncomp, N, kd), G.dtype)
+            Wbuf = jnp.zeros((self.ncomp, kd, N), G.dtype)
 
             def site_step(c, j):
                 G, field_l, Ubuf, Wbuf, sign = c
@@ -326,7 +351,10 @@ class HubbardModel:
                 g_ii = g_col[:, i]  # == g_row[:, i]
                 delta = jnp.exp(-2.0 * ss * alpha * s_i) - 1.0
                 R = 1.0 + delta * (1.0 - g_ii)
-                Rtot = R[0] * R[1]
+                if self.cfg.ph_on:
+                    Rtot = R[0] * R[0] / (1.0 + delta[0])
+                else:
+                    Rtot = R[0] * R[1]
                 accept = u01p[b * kd + j] < jnp.abs(Rtot)
                 coef = jnp.where(accept, -delta / R, 0.0)
                 w = -g_row
@@ -389,7 +417,13 @@ class HubbardModel:
         N = cfg.n_sites
         if sign is None:
             sign = jnp.ones((), G.dtype)
-        Gu, Gd = G[0], G[1]
+        Gu = G[0]
+        if cfg.ph_on:
+            eye_ = jnp.eye(N, dtype=G.dtype)
+            st_ = self.stagger
+            Gd = st_[:, None] * (eye_ - Gu.T) * st_[None, :]
+        else:
+            Gd = G[1]
         nu = 1.0 - jnp.diagonal(Gu)
         nd = 1.0 - jnp.diagonal(Gd)
         occ = (nu + nd).mean()
@@ -627,10 +661,10 @@ class HubbardModel:
         sdt = cfg.stab_jdtype
         rsdt = jnp.finfo(sdt).dtype
         state0 = WalkerState(
-            field=field, G=jnp.zeros((2, N, N), dt),
-            stack=Stack(U=jnp.zeros((K + 1, 2, N, N), dt),
-                        d=jnp.zeros((K + 1, 2, N), rsdt),
-                        V=jnp.zeros((K + 1, 2, N, N), sdt)),
+            field=field, G=jnp.zeros((cfg.ncomp, N, N), dt),
+            stack=Stack(U=jnp.zeros((K + 1, cfg.ncomp, N, N), dt),
+                        d=jnp.zeros((K + 1, cfg.ncomp, N), rsdt),
+                        V=jnp.zeros((K + 1, cfg.ncomp, N, N), sdt)),
             key=key,
             sign=jnp.ones((), dt),
             next_dir=jnp.asarray(0, jnp.int32),
@@ -697,6 +731,9 @@ class HubbardModel:
         corrects it host-side at init for sign-problem runs via
         ``host_chain_sign``). Ratio-sign tracking during sweeps is exact
         in all configurations."""
+        if self.cfg.ph_on:
+            # det M_up det M_dn = e^{-alpha sum s} (det M_up)^2 > 0
+            return jnp.ones(())
         if jax.default_backend() == "tpu":
             full_t = UDV(full_t.U.astype(jnp.float32),
                          full_t.d.astype(jnp.float32),
@@ -714,7 +751,7 @@ class HubbardModel:
         out = np.ones(batch or ())
         for idx in np.ndindex(batch) if batch else [()]:
             s = 1.0
-            for c in range(2):
+            for c in range(self.ncomp):
                 Uc, dc, Vc = U[idx][0][c], d[idx][0][c], V[idx][0][c]
                 sU, _ = np.linalg.slogdet(Uc)
                 sV, _ = np.linalg.slogdet(Vc)

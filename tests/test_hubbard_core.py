@@ -11,7 +11,7 @@ from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
 from tests.oracle.hubbard_oracle import HubbardOracle, exact_free_green
 
 CFG = HubbardConfig(L=4, t=1.0, U=4.0, mu=0.0, beta=4.0, m=40, s=8,
-                    dtype="float64")
+                    dtype="float64", ph_symmetry="off")
 
 
 def make_state(cfg=CFG, seed=0):
@@ -166,3 +166,29 @@ def test_vmap_walkers():
 def dataclass_asdict(cfg):
     import dataclasses
     return dataclasses.asdict(cfg)
+
+
+def test_ph_symmetry_equivalent_chain():
+    """Particle-hole mode must produce the same Markov chain as the
+    two-sector simulation (the accept ratios are mathematically equal:
+    R_up R_dn = R_up^2 e^{2 alpha s})."""
+    import dataclasses
+    base = dict(L=4, U=4.0, mu=0.0, beta=4.0, m=40, s=8, dtype="float64")
+    m_off = HubbardModel(HubbardConfig(**base, ph_symmetry="off"))
+    m_on = HubbardModel(HubbardConfig(**base, ph_symmetry="on"))
+    s_off = m_off.init_state(jax.random.key(12))
+    s_on = m_on.init_state(jax.random.key(12))
+    np.testing.assert_array_equal(np.asarray(s_off.field),
+                                  np.asarray(s_on.field))
+    for _ in range(2):
+        s_off, o_off = m_off.sweep_pair(s_off, measure=True)
+        s_on, o_on = m_on.sweep_pair(s_on, measure=True)
+    np.testing.assert_array_equal(np.asarray(s_off.field),
+                                  np.asarray(s_on.field))
+    np.testing.assert_allclose(np.asarray(s_off.G[0]),
+                               np.asarray(s_on.G[0]), atol=1e-10)
+    for name in ("occupancy", "doubleOccupancy", "totalEnergy",
+                 "spinStructureFactorAF"):
+        np.testing.assert_allclose(float(getattr(o_off, name)),
+                                   float(getattr(o_on, name)), atol=1e-9,
+                                   err_msg=name)

@@ -26,7 +26,8 @@ def test_free_fermion_time_displaced():
 
 def test_interacting_time_displaced_vs_oracle():
     """Fixed random field: G(tau,0) matches the naive fp64 product."""
-    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64")
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64",
+                        ph_symmetry="off")
     model = HubbardModel(cfg)
     state = model.init_state(jax.random.key(1))
     oracle = HubbardOracle(L=2, U=4.0, beta=2.0, m=16)
