@@ -164,7 +164,12 @@ class WalkerState(NamedTuple):
 
 class Observables(NamedTuple):
     """Per-measurement observable values (reference set, SURVEY.md §3
-    "Hubbard model" observables)."""
+    "Hubbard model" observables).
+
+    All Wick-contracted quantities are SIGN-WEIGHTED (O * sign): away from
+    half filling the physical estimate is <O s>/<s>, and the weighting must
+    pair O with the sign at the same measurement instant. At half filling
+    sign == 1 and the weighting is a no-op."""
 
     occupancy: jax.Array
     doubleOccupancy: jax.Array
@@ -440,14 +445,14 @@ class HubbardModel:
         c_of_d = corr[rows, self.disp_idx].mean(axis=1)
         s_af = self.stagger @ mm(corr, self.stagger[:, None])[:, 0] / N
         return Observables(
-            occupancy=occ,
-            doubleOccupancy=docc,
-            kineticEnergy=e_kin,
-            potentialEnergy=e_pot,
-            totalEnergy=e_kin + e_pot,
+            occupancy=occ * sign,
+            doubleOccupancy=docc * sign,
+            kineticEnergy=e_kin * sign,
+            potentialEnergy=e_pot * sign,
+            totalEnergy=(e_kin + e_pot) * sign,
             sign=sign,
-            spinCorrelation=c_of_d,
-            spinStructureFactorAF=s_af,
+            spinCorrelation=c_of_d * sign,
+            spinStructureFactorAF=s_af * sign,
             acceptance=acc_rate,
         )
 
