@@ -25,8 +25,7 @@ from detqmc_tpu.driver import DriverConfig
 from detqmc_tpu.metadata import string_to_metadata
 
 
-class ConfigurationError(ValueError):
-    """Bad or inconsistent parameters (reference: ConfigurationError)."""
+from detqmc_tpu.exceptions import ConfigurationError  # noqa: F401  (canonical home)
 
 
 _BOOL_TRUE = {"1", "true", "yes", "on"}
@@ -241,6 +240,16 @@ def build_sdw_config(model_params: Dict[str, str]):
     })
     if "lambda" in typed:
         typed["lam"] = typed.pop("lambda")
+    if "boxLength" in typed:
+        typed["box_width"] = typed.pop("boxLength")
+    # accRatio targeting lives in the driver (tune_proposals); the
+    # reference's spinProposalMethod variants beyond BOX are not yet
+    # implemented — accept and validate the key for config parity
+    typed.pop("accRatio", None)
+    spm = typed.pop("spinProposalMethod", "box")
+    if spm.lower() not in ("box",):
+        raise ConfigurationError(
+            f"spinProposalMethod {spm!r} not implemented (use 'box')")
     upd = typed.pop("updateMethod", "iterative")
     if upd not in ("iterative", "delayed"):
         raise ConfigurationError(
