@@ -1,0 +1,120 @@
+"""mrpt — multiple-histogram reweighting over a parallel-tempering run.
+
+Reference parity: SURVEY.md §4.5 (mainmrpt*.cpp): load the per-parameter
+time series of a PT run directory, solve the Ferrenberg-Swendsen
+self-consistency, and write continuous <O>(r) curves (plus Binder
+cumulants) on a fine grid, with optional jackknifed errors.
+
+The exchange-conjugate action a = dtau/2 sum phi^2 is derived from the
+recorded phiSquared series and each subdirectory's info.dat (r, dtau, L,
+m) — matching how the SDW model couples to its control parameter.
+
+Usage:
+  python -m detqmc_tpu.cli.main_mrpt <pt-outdir> [--obs phiSquared]
+      [--grid lo,hi,n] [--binder] [--jackknife B] [--discard N]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import numpy as np
+
+from detqmc_tpu.analysis.mrpt import (
+    MultireweightPT,
+    jackknife_reweighted,
+)
+from detqmc_tpu.io.series import load_series
+from detqmc_tpu.metadata import read_metadata
+
+
+def load_pt_run(outdir: str, obs_names, discard: int = 0):
+    """-> (r_values, actions, observables) from p*/ subdirectories."""
+    subdirs = sorted(glob.glob(os.path.join(outdir, "p*")),
+                     key=lambda p: int(os.path.basename(p)[1:]))
+    if not subdirs:
+        raise FileNotFoundError(f"no p*/ parameter dirs under {outdir}")
+    r_values, actions = [], []
+    observables = {name: [] for name in obs_names}
+    for sub in subdirs:
+        meta = read_metadata(os.path.join(sub, "info.dat"))
+        r = float(meta["r"])
+        L = int(meta["L"])
+        m = int(meta["m"])
+        beta = float(meta["beta"])
+        dtau = beta / m
+        phi2, _ = load_series(os.path.join(sub, "phiSquared.series"))
+        phi2 = phi2[discard:]
+        a = phi2 * (0.5 * dtau * m * L * L)
+        r_values.append(r)
+        actions.append(a)
+        for name in obs_names:
+            s, _ = load_series(os.path.join(sub, f"{name}.series"))
+            observables[name].append(s[discard:])
+    return np.asarray(r_values), actions, observables
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__, file=sys.stderr)
+        return 2
+    outdir = argv[0]
+    obs = ["phiSquared", "phiFourth"]
+    grid = None
+    do_binder = False
+    jk = 0
+    discard = 0
+    i = 1
+    while i < len(argv):
+        if argv[i] == "--obs":
+            obs = argv[i + 1].split(","); i += 2
+        elif argv[i] == "--grid":
+            lo, hi, n = argv[i + 1].split(","); i += 2
+            grid = np.linspace(float(lo), float(hi), int(n))
+        elif argv[i] == "--binder":
+            do_binder = True; i += 1
+        elif argv[i] == "--jackknife":
+            jk = int(argv[i + 1]); i += 2
+        elif argv[i] == "--discard":
+            discard = int(argv[i + 1]); i += 2
+        else:
+            print(f"unknown argument {argv[i]!r}", file=sys.stderr)
+            return 2
+
+    for name in ("phiSquared", "phiFourth"):
+        if do_binder and name not in obs:
+            obs.append(name)
+    r_values, actions, observables = load_pt_run(outdir, obs, discard)
+    if grid is None:
+        grid = np.linspace(r_values.min(), r_values.max(), 51)
+
+    m = MultireweightPT(r_values, actions, observables)
+    m.solve()
+    out_path = os.path.join(outdir, "mrpt.values")
+    with open(out_path, "w") as f:
+        cols = ["r"] + obs + (["binder"] if do_binder else [])
+        f.write("# " + " ".join(cols) + "\n")
+        for r in grid:
+            row = [r] + [m.expectation(name, r) for name in obs]
+            if do_binder:
+                row.append(m.binder(r))
+            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+    print(f"wrote {out_path} ({len(grid)} grid points, "
+          f"f = {np.round(m.f, 4).tolist()})")
+
+    if jk > 1:
+        for name in obs:
+            r_mid = float(grid[len(grid) // 2])
+            est, err = jackknife_reweighted(
+                r_values, actions, observables,
+                lambda mm_, n_=name: mm_.expectation(n_, r_mid),
+                n_blocks=jk)
+            print(f"{name}(r={r_mid:.4f}) = {est!r} +/- {err!r}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

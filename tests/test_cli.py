@@ -54,3 +54,27 @@ def test_pt_sdw_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "parameter 0" in out and "parameter 1" in out
     assert (tmp_path / "pt" / "exchange-rates.dat").exists()
+
+def test_mrpt_cli_on_pt_run(tmp_path, capsys):
+    """Full pipeline: PT run -> .series files -> mrpt reweighting curves."""
+    from detqmc_tpu.cli.main_mrpt import main as mrpt_main
+
+    rc = pt_main([
+        "L=2", "opdim=2", "r=0.0", "beta=1.0", "m=4", "s=2",
+        "sweeps=120", "thermalization=30", "dtype=float64",
+        "turnoffFermions=true", "values=0.2,0.8,1.6",
+        f"outdir={tmp_path}/pt", "timeseries=true", "jkBlocks=4",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = mrpt_main([f"{tmp_path}/pt", "--binder", "--grid", "0.2,1.6,15",
+                    "--jackknife", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mrpt.values" in out
+    data = np.loadtxt(tmp_path / "pt" / "mrpt.values")
+    assert data.shape[1] == 4  # r, phiSquared, phiFourth, binder
+    phi2 = data[:, 1]
+    # <phi^2>(r) must interpolate smoothly and decrease with r
+    assert phi2[0] > phi2[-1]
+    assert np.all(np.isfinite(data))
