@@ -81,6 +81,13 @@ class SDWConfig:
     wolffClusterUpdate: bool = False
     globalUpdateInterval: int = 5   # sweeps between global moves
     turnoffFermions: bool = False
+    # fermion-matrix representation for opdim >= 2 (complex matrices):
+    # "complex" (natural; CPU), "real_embed" (rho(M) = [[Re,-Im],[Im,Re]]:
+    # 2x the dimension but pure-real linear algebra — required on TPU,
+    # whose backend lacks complex QR; the embedded determinant is |det|^2,
+    # so Metropolis ratios take a sqrt — exact because det M >= 0 by the
+    # model's antiunitary symmetry). "auto" = real_embed on TPU.
+    fermion_repr: str = "auto"
     dtype: str = "float32"
     stab_dtype: str = "auto"
 
@@ -184,28 +191,78 @@ class SDWModel:
             jax.config.update("jax_enable_x64", True)
         if jax.config.jax_default_matmul_precision is None:
             jax.config.update("jax_default_matmul_precision", "highest")
-        cdt = cfg.cdtype
+        if cfg.fermion_repr == "auto":
+            self.embed = (cfg.opdim >= 2
+                          and jax.default_backend() == "tpu")
+        elif cfg.fermion_repr in ("complex", "real_embed"):
+            self.embed = (cfg.fermion_repr == "real_embed"
+                          and cfg.opdim >= 2)
+        else:
+            raise ValueError(f"bad fermion_repr {cfg.fermion_repr!r}")
+        self.n_orb = 2 * N_ORB if self.embed else N_ORB
+        self.dim = self.n_orb * cfg.n_sites
+        self.cdtype = cfg.jdtype if self.embed else cfg.cdtype
+        if self.embed and jnp.dtype(cfg.stab_jdtype).kind == "c":
+            self.stab_dtype_eff = jnp.dtype(
+                "float64" if jnp.dtype(cfg.stab_jdtype).itemsize == 16
+                else "float32")
+        else:
+            self.stab_dtype_eff = jnp.dtype(cfg.stab_jdtype)
+        cdt = self.cdtype
         N = cfg.n_sites
         # per-band kinetic exponentials (x: strong along x; y: rotated)
         Kx = self.lat.hopping_matrix(1.0, tx=cfg.txhor, ty=cfg.txver)
         Ky = self.lat.hopping_matrix(1.0, tx=cfg.tyhor, ty=cfg.tyver)
         expKx, expKx_inv = kinetic_exponentials(Kx, cfg.dtau, cfg.mu)
         expKy, expKy_inv = kinetic_exponentials(Ky, cfg.dtau, cfg.mu)
-        # orbital-major order: (x_up, x_dn, y_up, y_dn)
+        # orbital-major order: (x_up, x_dn, y_up, y_dn) [+ Im copies when
+        # embedded: each complex orbital contributes a (Re, Im) pair with
+        # the same real kinetic matrix]
+        reps = 2 if self.embed else 1
         self.expK = jnp.asarray(
-            np.stack([expKx, expKx, expKy, expKy]), cdt)       # (4, N, N)
+            np.stack([expKx, expKx, expKy, expKy] * reps), cdt)
         self.expK_inv = jnp.asarray(
-            np.stack([expKx_inv, expKx_inv, expKy_inv, expKy_inv]), cdt)
-        self.K_orb = jnp.asarray(np.stack([Kx, Kx, Ky, Ky]), cdt)
-        self.paulis = jnp.asarray(_pauli_stack(cfg.opdim), cdt)  # (op,2,2)
+            np.stack([expKx_inv, expKx_inv, expKy_inv, expKy_inv] * reps),
+            cdt)
+        self.K_orb = jnp.asarray(np.stack([Kx, Kx, Ky, Ky] * reps), cdt)
+        # The real-embedded path uses split Re/Im pauli copies: the axon
+        # TPU backend implements no complex ops at all — even transferring
+        # a complex constant to the device poisons the async stream with a
+        # deferred UNIMPLEMENTED error — so the complex stack is only
+        # created when the complex representation is actually in use.
+        if not self.embed:
+            self.paulis = jnp.asarray(_pauli_stack(cfg.opdim), cfg.cdtype)
+        self.paulis_re = jnp.asarray(
+            np.real(_pauli_stack(cfg.opdim)), cfg.jdtype)
+        self.paulis_im = jnp.asarray(
+            np.imag(_pauli_stack(cfg.opdim)), cfg.jdtype)
         self.nb = jnp.asarray(self.lat.neighbors(), jnp.int32)  # (N, 4)
         self._jit_cache = {}
 
     # ---- potential factor ---------------------------------------------------
+    def _embed(self, blocks: jax.Array) -> jax.Array:
+        """rho(M) = [[Re M, -Im M], [Im M, Re M]]: (..., k, k) complex ->
+        (..., 2k, 2k) real (ring isomorphism; all UdV/Green identities
+        carry over verbatim on the image)."""
+        re = jnp.real(blocks).astype(self.cfg.jdtype)
+        im = jnp.imag(blocks).astype(self.cfg.jdtype)
+        top = jnp.concatenate([re, -im], axis=-1)
+        bot = jnp.concatenate([im, re], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
     def _phi_matrix(self, phi_site: jax.Array) -> jax.Array:
         """Phi = phi . sigma: (..., 2, 2) from (..., opdim)."""
         return jnp.einsum("...o,oab->...ab",
                           phi_site.astype(self.cfg.cdtype), self.paulis)
+
+    def _phi_matrix_reim(self, phi_site: jax.Array):
+        """(Re Phi, Im Phi) via REAL einsums — the axon TPU backend has
+        no complex ops at all, so the embedded path never materializes a
+        complex array."""
+        dt = self.cfg.jdtype
+        re = jnp.einsum("...o,oab->...ab", phi_site, self.paulis_re)
+        im = jnp.einsum("...o,oab->...ab", phi_site, self.paulis_im)
+        return re.astype(dt), im.astype(dt)
 
     def exp_v_blocks(self, phi_slice: jax.Array, sign: float = -1.0
                      ) -> jax.Array:
@@ -213,16 +270,20 @@ class SDWModel:
 
         Closed form via V^2 = (lam |phi|)^2 (SURVEY.md §9 "SDW model")."""
         cfg = self.cfg
-        cdt = cfg.cdtype
         nrm = jnp.sqrt(jnp.sum(phi_slice ** 2, axis=-1))        # (N,)
         a = cfg.dtau * cfg.lam * nrm
-        ch = jnp.cosh(a).astype(cdt)
-        sh_over = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
-                            cfg.dtau * cfg.lam)                 # sinh(a)/|phi|
-        Phi = self._phi_matrix(phi_slice)                       # (N, 2, 2)
-        eye2 = jnp.eye(2, dtype=cdt)
+        ch_r = jnp.cosh(a)
+        sh_r = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
+                         cfg.dtau * cfg.lam)                    # sinh/|phi|
         # [[ch 1, s Phi], [s Phi^H, ch 1]]: V = lam [[0, Phi], [Phi^H, 0]]
         # and sinh(a) V/(lam|phi|) = (sinh(a)/|phi|) [[0, Phi], [Phi^H, 0]]
+        if self.embed:
+            return self._assemble_embedded(phi_slice, ch_r, sh_r, sign)
+        cdt = cfg.cdtype
+        ch = ch_r.astype(cdt)
+        sh_over = sh_r
+        Phi = self._phi_matrix(phi_slice)                       # (N, 2, 2)
+        eye2 = jnp.eye(2, dtype=cdt)
         coef = (sign * sh_over).astype(cdt)[:, None, None]
         off = coef * Phi
         offH = coef * jnp.conj(jnp.swapaxes(Phi, -1, -2))
@@ -230,13 +291,37 @@ class SDWModel:
         row2 = jnp.concatenate([offH, ch[:, None, None] * eye2], axis=-1)
         return jnp.concatenate([row1, row2], axis=-2)           # (N, 4, 4)
 
+    def _assemble_embedded(self, phi_slice, ch, sh_over, sign):
+        """rho of the 4x4 block assembled from purely real pieces:
+        Re B = [[ch, s*PhiRe], [s*PhiRe^T, ch]],
+        Im B = [[0, s*PhiIm], [-s*PhiIm^T, 0]] (Phi Hermitian-coupled
+        block structure), rho(B) = [[ReB, -ImB], [ImB, ReB]]: (..., 8, 8).
+        Works for single sites ((opdim,) input) and slices ((N, opdim))."""
+        dt = self.cfg.jdtype
+        pre, pim = self._phi_matrix_reim(phi_slice)      # (..., 2, 2)
+        ch = jnp.asarray(ch, dt)[..., None, None]
+        s = (sign * jnp.asarray(sh_over, dt))[..., None, None]
+        eye2 = jnp.eye(2, dtype=dt)
+        z2 = jnp.zeros_like(pre)
+        preT = jnp.swapaxes(pre, -1, -2)
+        pimT = jnp.swapaxes(pim, -1, -2)
+        reB = jnp.concatenate([
+            jnp.concatenate([ch * eye2, s * pre], axis=-1),
+            jnp.concatenate([s * preT, ch * eye2], axis=-1)], axis=-2)
+        imB = jnp.concatenate([
+            jnp.concatenate([z2, s * pim], axis=-1),
+            jnp.concatenate([-s * pimT, z2], axis=-1)], axis=-2)
+        top = jnp.concatenate([reB, -imB], axis=-1)
+        bot = jnp.concatenate([imB, reB], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)      # (..., 8, 8)
+
     # ---- block-diagonal / kinetic applies -----------------------------------
     def _as_orb(self, X: jax.Array) -> jax.Array:
-        """(4N, k) -> (4, N, k) orbital-major view."""
-        return X.reshape(N_ORB, self.cfg.n_sites, -1)
+        """(n_orb*N, k) -> (n_orb, N, k) orbital-major view."""
+        return X.reshape(self.n_orb, self.cfg.n_sites, -1)
 
     def _from_orb(self, X: jax.Array) -> jax.Array:
-        return X.reshape(N_ORB * self.cfg.n_sites, -1)
+        return X.reshape(self.n_orb * self.cfg.n_sites, -1)
 
     def dv_mult_left(self, blocks: jax.Array, X: jax.Array) -> jax.Array:
         """D_V @ X with D_V block-diagonal per site: blocks (N, 4, 4)."""
@@ -247,9 +332,9 @@ class SDWModel:
     def dv_mult_right(self, X: jax.Array, blocks: jax.Array) -> jax.Array:
         """X @ D_V."""
         k = X.shape[0]
-        Xo = X.reshape(k, N_ORB, self.cfg.n_sites)              # (k, 4, N)
+        Xo = X.reshape(k, self.n_orb, self.cfg.n_sites)
         Xo = jnp.einsum("kai,iab->kbi", Xo, blocks)
-        return Xo.reshape(k, N_ORB * self.cfg.n_sites)
+        return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
 
     def kinetic_mult_left(self, X: jax.Array, inv=False,
                           transpose=False) -> jax.Array:
@@ -262,9 +347,9 @@ class SDWModel:
     def kinetic_mult_right(self, X: jax.Array, inv=False) -> jax.Array:
         E = self.expK_inv if inv else self.expK
         k = X.shape[0]
-        Xo = X.reshape(k, N_ORB, self.cfg.n_sites)
+        Xo = X.reshape(k, self.n_orb, self.cfg.n_sites)
         Xo = jnp.einsum("kom,omn->kon", Xo, E)
-        return Xo.reshape(k, N_ORB * self.cfg.n_sites)
+        return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
 
     # B = D_V expK (potential leftmost, same convention as Hubbard)
     def b_mult_left(self, blocks, X):
@@ -330,7 +415,7 @@ class SDWModel:
     # ---- per-site Metropolis -------------------------------------------------
     def _site_indices(self, i):
         N = self.cfg.n_sites
-        return jnp.stack([i, N + i, 2 * N + i, 3 * N + i])
+        return jnp.arange(self.n_orb) * N + i
 
     def update_slice(self, G, phi, l_1based, key, phase, box_w, r=None):
         """Sequential single-site phi updates in slice l (reference:
@@ -338,7 +423,7 @@ class SDWModel:
         G: (dim, dim); phi: (m, N, opdim). Returns updated (G, phi, key,
         phase, acc_rate)."""
         cfg = self.cfg
-        cdt = cfg.cdtype
+        cdt = self.cdtype
         N = cfg.n_sites
         if r is None:
             r = jnp.asarray(cfg.r, cfg.jdtype)
@@ -348,7 +433,7 @@ class SDWModel:
             k_prop, (N, cfg.opdim), dtype=cfg.jdtype,
             minval=-1.0, maxval=1.0) * box_w
         u01 = jax.random.uniform(k_acc, (N,), dtype=cfg.jdtype)
-        eye4 = jnp.eye(N_ORB, dtype=cdt)
+        eye4 = jnp.eye(self.n_orb, dtype=cdt)
 
         def site_step(carry, i):
             G, phi, phase = carry
@@ -370,19 +455,28 @@ class SDWModel:
             G_II = G[jnp.ix_(idx, idx)]
             A = eye4 + mm(Delta, eye4 - G_II)
             R = jnp.linalg.det(A)
-            weight = jnp.abs(R) * jnp.exp(-dS)
+            if self.embed:
+                # det rho(A) = |det A|^2; the physical ratio det A is real
+                # and non-negative by the model's antiunitary symmetry
+                weight = jnp.sqrt(jnp.maximum(jnp.real(R), 0.0)) \
+                    * jnp.exp(-dS)
+            else:
+                weight = jnp.abs(R) * jnp.exp(-dS)
             accept = u01[i] < weight
             # Woodbury rank-4: G' = G - G[:,I] [A^{-1} Delta] (1-G)[I,:]
             Ainv_D = jnp.linalg.solve(A, Delta)
             Gcols = G[:, idx]                                   # (dim, 4)
             rowsI = -G[idx, :]
-            rowsI = rowsI.at[jnp.arange(4), idx].add(1.0)       # (1-G)[I,:]
+            rowsI = rowsI.at[jnp.arange(self.n_orb), idx].add(1.0)
             upd = mm(Gcols, mm(Ainv_D, rowsI))
             gate = accept.astype(cfg.jdtype)
             G = G - gate * upd
             phi = phi.at[l_idx, i].set(
                 jnp.where(accept, phi_new, phi_old))
-            phase = jnp.where(accept, phase * R / jnp.abs(R), phase)
+            if self.embed:
+                pass  # ratios are real non-negative; phase stays 1
+            else:
+                phase = jnp.where(accept, phase * R / jnp.abs(R), phase)
             return (G, phi, phase), gate
 
         (G, phi, phase), acc = jax.lax.scan(
@@ -390,14 +484,18 @@ class SDWModel:
         return G, phi, key, phase, acc.mean()
 
     def _exp_v_single(self, phi_i: jax.Array, sign: float) -> jax.Array:
-        """exp(sign * dtau * V) for one site: (4, 4)."""
+        """exp(sign * dtau * V) for one site: (n_orb, n_orb)."""
         cfg = self.cfg
-        cdt = cfg.cdtype
         nrm = jnp.sqrt(jnp.sum(phi_i ** 2))
         a = cfg.dtau * cfg.lam * nrm
-        ch = jnp.cosh(a).astype(cdt)
-        sh_over = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
-                            cfg.dtau * cfg.lam).astype(cdt)
+        ch_r = jnp.cosh(a)
+        sh_r = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
+                         cfg.dtau * cfg.lam)
+        if self.embed:
+            return self._assemble_embedded(phi_i, ch_r, sh_r, sign)
+        cdt = cfg.cdtype
+        ch = ch_r.astype(cdt)
+        sh_over = sh_r.astype(cdt)
         Phi = self._phi_matrix(phi_i)                           # (2, 2)
         eye2 = jnp.eye(2, dtype=cdt)
         off = sign * sh_over * Phi
@@ -420,12 +518,14 @@ class SDWModel:
         phi2 = jnp.sum(phi ** 2, axis=-1)                       # (m, N)
         phibar = phi.mean(axis=(0, 1))                          # (opdim,)
         chi = cfg.beta * N * jnp.sum(phibar ** 2)
-        occ = (N_ORB - jnp.real(jnp.trace(G)) / N)
+        # embedded traces double-count (tr rho(G) = 2 Re tr G)
+        tr_fac = 2.0 if self.embed else 1.0
+        occ = (N_ORB - jnp.real(jnp.trace(G)) / (tr_fac * N))
         # kinetic: sum_o tr(K_o G_o) with G_o the (N,N) diagonal block
-        Gorb = G.reshape(N_ORB, N, N_ORB, N)
+        Gorb = G.reshape(self.n_orb, N, self.n_orb, N)
         e_kin = -jnp.real(sum(
             jnp.sum(self.K_orb[o].T * Gorb[o, :, o, :])
-            for o in range(N_ORB))) / N
+            for o in range(self.n_orb))) / (tr_fac * N)
         return SDWObservables(
             phiSquared=phi2.mean(),
             phiFourth=(phi2 ** 2).mean(),
@@ -442,9 +542,9 @@ class SDWModel:
     def _sweep(self, state: SDWState, up: bool, measure: bool):
         cfg = self.cfg
         K, s_int = cfg.n_stack, cfg.s
-        dim = cfg.dim
-        cdt = cfg.cdtype
-        sdt = cfg.stab_jdtype
+        dim = self.dim
+        cdt = self.cdtype
+        sdt = self.stab_dtype_eff
 
         phi, G, key, phase = state.phi, state.G, state.key, state.phase
         box_w = state.box_width
@@ -566,7 +666,8 @@ class SDWModel:
         else:
             ld_old, _ = self._chain_logdet(state.phi)
             ld_new, _ = self._chain_logdet(phi_new)
-            log_ratio = (ld_new - ld_old) - dS
+            fac = 0.5 if self.embed else 1.0  # embedded logdet = 2 log det
+            log_ratio = fac * (ld_new - ld_old) - dS
         accept = jnp.log(jax.random.uniform(
             k_a, (), dtype=cfg.jdtype)) < log_ratio
         phi = jnp.where(accept, phi_new, state.phi)
@@ -648,8 +749,9 @@ class SDWModel:
         else:
             ld_old, _ = self._chain_logdet(state.phi)
             ld_new, _ = self._chain_logdet(phi_new)
+            fac = 0.5 if self.embed else 1.0
             accept = jnp.log(jax.random.uniform(
-                k_acc, (), dtype=cfg.jdtype)) < (ld_new - ld_old)
+                k_acc, (), dtype=cfg.jdtype)) < fac * (ld_new - ld_old)
         phi = jnp.where(accept, phi_new, state.phi)
         st = state._replace(phi=phi, key=key)
         return self.refresh_from_field(st), accept, in_cluster.sum()
@@ -689,7 +791,7 @@ class SDWModel:
     # ---- setup -------------------------------------------------------------------
     def _eye_mixed(self):
         cfg = self.cfg
-        dim, cdt, sdt = cfg.dim, cfg.cdtype, cfg.stab_jdtype
+        dim, cdt, sdt = self.dim, self.cdtype, self.stab_dtype_eff
         eye_c = jnp.eye(dim, dtype=cdt)
         eye_s = jnp.eye(dim, dtype=sdt)
         d = jnp.ones((dim,), jnp.finfo(sdt).dtype)
@@ -702,7 +804,7 @@ class SDWModel:
         cfg = self.cfg
         K, s_int = cfg.n_stack, cfg.s
         eye_f = self._eye_mixed()
-        sdt = cfg.stab_jdtype
+        sdt = self.stab_dtype_eff
 
         def build_interval(f_carry, k):
             def absorb(lazy_U, l_rel):
@@ -710,7 +812,7 @@ class SDWModel:
                 blocks = self.exp_v_blocks(phi[l - 1])
                 return self.bT_mult_left(blocks, lazy_U), None
 
-            lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(cfg.cdtype),
+            lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(self.cdtype),
                                      jnp.arange(s_int))
             f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
                                  compose_dtype=sdt)
@@ -732,8 +834,8 @@ class SDWModel:
         stack = self._build_right_stack(state.phi)
         full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
         G = green_from_two_udv(self._eye_mixed(), full_t,
-                               compute_dtype=cfg.stab_jdtype
-                               ).astype(cfg.cdtype)
+                               compute_dtype=self.stab_dtype_eff
+                               ).astype(self.cdtype)
         return state._replace(
             G=G, stack_U=stack.U, stack_d=stack.d, stack_V=stack.V,
             next_dir=jnp.asarray(0, jnp.int32))
@@ -743,7 +845,7 @@ class SDWModel:
         key, k_phi = jax.random.split(key)
         phi = jax.random.normal(
             k_phi, (cfg.m, cfg.n_sites, cfg.opdim), dtype=cfg.jdtype) * 0.5
-        dim, cdt, sdt = cfg.dim, cfg.cdtype, cfg.stab_jdtype
+        dim, cdt, sdt = self.dim, self.cdtype, self.stab_dtype_eff
         K = cfg.n_stack
         rdt = jnp.finfo(sdt).dtype
         state0 = SDWState(

@@ -152,3 +152,42 @@ def test_turnoff_fermions_vs_classical_mc():
     ref_err = ref_samples.std() / np.sqrt(len(ref_samples) / 10)
     tol = 5 * np.hypot(err, ref_err) + 0.01
     assert abs(got - ref) < tol, f"{got}+-{err} vs classical {ref}+-{ref_err}"
+
+
+@pytest.mark.parametrize("opdim", [2, 3])
+def test_real_embedding_equivalent_chain(opdim):
+    """fermion_repr=real_embed must produce the same Markov chain as the
+    complex representation (rho is a ring isomorphism; ratios agree as
+    sqrt(det rho) = |det|)."""
+    base = dict(L=2, opdim=opdim, r=0.5, beta=2.0, m=8, s=2,
+                dtype="float64")
+    mc = SDWModel(SDWConfig(**base, fermion_repr="complex"))
+    me = SDWModel(SDWConfig(**base, fermion_repr="real_embed"))
+    sc = mc.init_state(jax.random.key(opdim))
+    se = me.init_state(jax.random.key(opdim))
+    for _ in range(2):
+        sc, oc = mc.sweep_pair(sc, measure=True)
+        se, oe = me.sweep_pair(se, measure=True)
+    np.testing.assert_allclose(np.asarray(sc.phi), np.asarray(se.phi),
+                               atol=1e-9)
+    D = mc.dim
+    np.testing.assert_allclose(np.asarray(se.G)[:D, :D],
+                               np.asarray(sc.G).real, atol=1e-7)
+    for name in ("phiSquared", "occupancy", "kineticEnergy",
+                 "bosonAction"):
+        np.testing.assert_allclose(float(getattr(oc, name)),
+                                   float(getattr(oe, name)), atol=1e-8,
+                                   err_msg=name)
+    assert float(se.green_dev) < 1e-8
+
+
+def test_real_embedding_global_moves():
+    cfg = SDWConfig(L=2, opdim=3, r=0.5, beta=1.0, m=4, s=2,
+                    dtype="float64", fermion_repr="real_embed",
+                    globalShift=True, wolffClusterUpdate=True)
+    model = SDWModel(cfg)
+    state = model.init_state(jax.random.key(4))
+    state = model.global_moves(state)
+    refreshed = model.refresh_from_field(state)
+    np.testing.assert_allclose(np.asarray(state.G),
+                               np.asarray(refreshed.G), atol=1e-10)
