@@ -93,6 +93,7 @@ _DRIVER_KEYS = {
     "walkers": int,
     "rngSeed": int,
     "blockMeas": int,
+    "meshDevices": int,
 }
 
 _DRIVER_FIELD = {
@@ -107,6 +108,7 @@ _DRIVER_FIELD = {
     "walkers": "n_walkers",
     "rngSeed": "seed",
     "blockMeas": "block_meas",
+    "meshDevices": "mesh_devices",
 }
 
 _HUBBARD_KEYS = {

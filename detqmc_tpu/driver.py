@@ -49,6 +49,11 @@ class DriverConfig:
     seed: int = 0
     block_meas: int = 25           # measurements per device block
     timedisplaced: bool = False    # unequal-time G(k, tau) once per block
+    # shard the walker axis over this many devices (0 = single device;
+    # walkers are embarrassingly parallel, so XLA partitions the vmapped
+    # blocks across the mesh with no collectives — the TPU-native
+    # generalization of launching independent reference processes)
+    mesh_devices: int = 0
     # adaptive proposal-width tuning during thermalization (models whose
     # state carries box_width; reference: updateInSliceThermalization's
     # acceptance-ratio targeting)
@@ -148,6 +153,7 @@ class DetQMC:
                 jax.random.key(self.p.seed), self.p.n_walkers)
             with timing("init"):
                 self.states = self._init_fn(keys)
+            self._shard_states()
             # f64-on-TPU cannot compute determinant signs in-graph (no LU,
             # no host callbacks); fix the initial sign host-side when the
             # model has a sign problem (mu != 0 etc.)
@@ -162,9 +168,31 @@ class DetQMC:
             jax.random.key(self.p.seed), self.p.n_walkers))
         restored = ckpt_mod.restore_state(blank, arrays)
         self.states = self._refresh_fn(restored)
+        self._shard_states()
         self.handler.load_state_dict(handler_arrays)
         self.measurements_done = int(manifest.get("measurements_done", 0))
         self.therm_done = int(manifest.get("therm_done", 0))
+
+    def _shard_states(self) -> None:
+        """Distribute the walker axis over a device mesh (no-op for
+        mesh_devices <= 1). Sharding propagates through the jitted blocks;
+        measurements gather to host as before."""
+        n_dev = self.p.mesh_devices
+        if n_dev <= 1:
+            return
+        devs = jax.devices()[:n_dev]
+        if len(devs) < n_dev:
+            raise RuntimeError(
+                f"mesh_devices={n_dev} but only {len(devs)} devices")
+        if self.p.n_walkers % n_dev != 0:
+            raise ValueError("n_walkers must divide evenly over "
+                             f"mesh_devices ({self.p.n_walkers} % {n_dev})")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(devs), ("walkers",))
+        shard = NamedSharding(mesh, P("walkers"))
+        self.states = jax.tree.map(
+            lambda a: jax.device_put(a, shard), self.states)
 
     # -- wall-time ------------------------------------------------------------
     def _out_of_time(self, margin: float = 0.0) -> bool:
