@@ -90,17 +90,27 @@ class DetQMC:
         self._init_fn = jax.jit(vm(model.init_state))
         self._refresh_fn = jax.jit(vm(model.refresh_from_field))
 
-        def therm_block(states, n_pairs):
-            def body(st, _):
-                st, obs = model.sweep_pair(st, measure=False)
-                return st, obs.acceptance
-            states, acc = jax.lax.scan(body, states, None, length=n_pairs)
-            return states, acc.mean()
-
         do_global = getattr(model, "has_global_moves", False)
 
-        def meas_block(states):
-            def one_measurement(st, _):
+        # Global moves fire every `globalUpdateInterval` sweeps (reference
+        # semantics, SURVEY.md §3 "SDW model"). The sweep counter lives on
+        # the host, so each device block receives precomputed boolean
+        # fire-flags; the predicate is unbatched, so under vmap the
+        # lax.cond stays a real branch and idle steps cost nothing.
+        def maybe_global(st, f):
+            if not do_global:
+                return st
+            return jax.lax.cond(f, model.global_moves, lambda s: s, st)
+
+        def therm_block(states, fire):
+            def body(st, f):
+                st, obs = model.sweep_pair(st, measure=False)
+                return maybe_global(st, f), obs.acceptance
+            states, acc = jax.lax.scan(body, states, fire)
+            return states, acc.mean()
+
+        def meas_block(states, fire):
+            def one_measurement(st, f):
                 def pair(st2, _):
                     st2, _o = model.sweep_pair(st2, measure=False)
                     return st2, None
@@ -108,16 +118,12 @@ class DetQMC:
                     st, _ = jax.lax.scan(pair, st, None,
                                          length=params.measure_interval - 1)
                 st, obs = model.sweep_pair(st, measure=True)
-                if do_global:
-                    st = model.global_moves(st)
-                return st, obs
-            states, obs = jax.lax.scan(one_measurement, states, None,
-                                       length=params.block_meas)
+                return maybe_global(st, f), obs
+            states, obs = jax.lax.scan(one_measurement, states, fire)
             return states, obs
 
-        self._therm_block = jax.jit(vm(therm_block, in_axes=(0, None)),
-                                    static_argnums=1)
-        self._meas_block = jax.jit(vm(meas_block))
+        self._therm_block = jax.jit(vm(therm_block, in_axes=(0, None)))
+        self._meas_block = jax.jit(vm(meas_block, in_axes=(0, None)))
         self._timedisp_fn = None
         if params.timedisplaced and hasattr(model,
                                             "measure_time_displaced"):
@@ -168,6 +174,13 @@ class DetQMC:
             jax.random.key(self.p.seed), self.p.n_walkers))
         restored = ckpt_mod.restore_state(blank, arrays)
         self.states = self._refresh_fn(restored)
+        if hasattr(restored, "sign"):
+            # refresh_from_field recomputes the sign from an f32 cast of
+            # the factored chain (unreliable on TPU for mu != 0); the
+            # checkpointed sign was tracked exactly through accepted-ratio
+            # signs, so the saved value wins on resume
+            self.states = self.states._replace(
+                sign=jnp.asarray(restored.sign, self.states.sign.dtype))
         self._shard_states()
         self.handler.load_state_dict(handler_arrays)
         self.measurements_done = int(manifest.get("measurements_done", 0))
@@ -193,6 +206,18 @@ class DetQMC:
         shard = NamedSharding(mesh, P("walkers"))
         self.states = jax.tree.map(
             lambda a: jax.device_put(a, shard), self.states)
+
+    def _global_fire_flags(self, start_sweeps: int, n_units: int,
+                           sweeps_per_unit: int) -> jax.Array:
+        """fire[t] = True iff device-block unit t crosses a
+        globalUpdateInterval boundary (reference: global moves attempted
+        every globalUpdateInterval sweeps)."""
+        gui = int(getattr(self.model.cfg, "globalUpdateInterval", 0) or 0)
+        if not getattr(self.model, "has_global_moves", False) or gui <= 0:
+            return jnp.zeros((n_units,), bool)
+        s0 = start_sweeps + sweeps_per_unit * np.arange(n_units)
+        s1 = s0 + sweeps_per_unit
+        return jnp.asarray((s1 // gui) > (s0 // gui))
 
     # -- wall-time ------------------------------------------------------------
     def _out_of_time(self, margin: float = 0.0) -> bool:
@@ -230,8 +255,9 @@ class DetQMC:
         t_block = None
         while self.therm_done < self.p.thermalization:
             n = min(block, self.p.thermalization - self.therm_done)
+            fire = self._global_fire_flags(2 * self.therm_done, n, 2)
             with timing("thermalization"):
-                self.states, acc = self._therm_block(self.states, n)
+                self.states, acc = self._therm_block(self.states, fire)
                 jax.block_until_ready(self.states.G)
             self.therm_done += n
             # adaptive proposal-width tuning (reference:
@@ -253,8 +279,11 @@ class DetQMC:
 
         while self.measurements_done < self.p.n_measurements:
             t0 = time.time()
+            fire = self._global_fire_flags(
+                2 * self.p.measure_interval * self.measurements_done,
+                self.p.block_meas, 2 * self.p.measure_interval)
             with timing("measurement block"):
-                self.states, obs = self._meas_block(self.states)
+                self.states, obs = self._meas_block(self.states, fire)
                 jax.block_until_ready(self.states.G)
             t_block = time.time() - t0
             n_new = min(self.p.block_meas,

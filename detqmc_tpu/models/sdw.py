@@ -757,9 +757,9 @@ class SDWModel:
         return self.refresh_from_field(st), accept, in_cluster.sum()
 
     def global_moves(self, state: SDWState) -> SDWState:
-        """Configured global updates (reference: run every
-        globalUpdateInterval sweeps; here the driver applies them once per
-        measurement interval)."""
+        """Configured global updates; the driver fires this every
+        globalUpdateInterval sweeps (reference semantics) via per-block
+        fire flags."""
         if self.cfg.globalShift:
             state, _ = self.attempt_global_shift(state)
         if self.cfg.wolffClusterUpdate:

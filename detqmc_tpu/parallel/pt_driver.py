@@ -94,11 +94,17 @@ class DetQMCPT:
                     length=pt_params.exchange_interval - 1)
             states, obs = vm(
                 lambda s: model.sweep_pair(s, measure=True))(states)
+            # the measurements above ran under the INCOMING parameter
+            # assignment — tag them with it before the exchange step
+            # reshuffles labels (tagging post-exchange would book every
+            # accepted swap's measurements into the adjacent parameter's
+            # stream, biasing all PT output)
+            tag = pt.param_of_replica
             actions = vm(model.exchange_action)(states)
             pt = pt_mod.exchange_step(pt, actions, self.r_values)
             states = vm(model.with_r)(states,
                                       pt_mod.replica_r(pt, self.r_values))
-            return (states, pt), (obs, pt.param_of_replica)
+            return (states, pt), (obs, tag)
 
         self._therm_block = jax.jit(
             lambda c, n: jax.lax.scan(therm_round, c, None, length=n)[0],

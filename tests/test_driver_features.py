@@ -40,3 +40,27 @@ def test_adaptive_tuning_and_phi_dump(tmp_path):
     phi = read_binarystream(str(tmp_path / "run" / "phi.binarystream"))
     assert phi.shape[1:] == (4, 4, 2)  # (m, N, opdim), stacked walkers
     assert np.isfinite(phi).all()
+
+def test_global_update_interval_honored():
+    """globalUpdateInterval gates global moves on the sweep counter
+    (reference: attempted every globalUpdateInterval sweeps). A never-
+    firing interval must leave the trajectory identical to a run without
+    global moves (global moves consume RNG even when rejected)."""
+    base = dict(L=2, opdim=1, r=1.0, u=0.5, beta=1.0, m=4, s=2,
+                turnoffFermions=True, dtype="float64")
+    p = DriverConfig(sweeps=8, thermalization=4, n_walkers=1, seed=3,
+                     block_meas=4, tune_proposals=False)
+
+    off = DetQMC(SDWModel(SDWConfig(**base, globalShift=False)), p)
+    off.run()
+    never = DetQMC(SDWModel(SDWConfig(**base, globalShift=True,
+                                      globalUpdateInterval=10_000)), p)
+    never.run()
+    np.testing.assert_array_equal(np.asarray(off.states.phi),
+                                  np.asarray(never.states.phi))
+
+    every = DetQMC(SDWModel(SDWConfig(**base, globalShift=True,
+                                      globalUpdateInterval=1)), p)
+    every.run()
+    assert not np.array_equal(np.asarray(off.states.phi),
+                              np.asarray(every.states.phi))

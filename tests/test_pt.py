@@ -119,3 +119,34 @@ def test_pt_end_to_end_boson_limit(tmp_path):
     res1 = single.run()
     tol = 5 * np.hypot(errs[-1], res1["phiSquared"][1]) + 0.02
     assert abs(phi2[-1] - res1["phiSquared"][0]) < tol
+
+def test_meas_round_tags_pre_exchange_assignment():
+    """Measurements run under the INCOMING parameter assignment; the tag
+    emitted with them must be that assignment, not the post-swap one
+    (a post-swap tag books every accepted swap's measurements into the
+    adjacent parameter's stream)."""
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    cfg = SDWConfig(L=2, opdim=1, r=0.0, u=0.1, beta=0.5, m=4, s=2,
+                    turnoffFermions=True, dtype="float64")
+    model = SDWModel(cfg)
+    p = DriverConfig(sweeps=2, thermalization=0, n_walkers=1, seed=0,
+                     block_meas=2)
+    qmc = DetQMCPT(model, [0.0, 10.0], p, PTConfig(exchange_interval=1))
+    qmc.init()
+    # make replica 1's exchange action enormous: the first adjacent-pair
+    # swap has log_p = (r0 - r1)(a0 - a1) = (-10)(-huge) > 0 -> accepted
+    phi = np.array(qmc.states.phi)  # writable copy
+    phi[1] *= 100.0
+    states = qmc.states._replace(phi=jnp.asarray(phi))
+    states = jax.vmap(model.refresh_from_field)(states)
+    carry, (obs, tags) = qmc._meas_block((states, qmc.pt_state), 2)
+    _, pt1 = carry
+    assert int(np.asarray(pt1.n_accepted).sum()) >= 1  # swap really fired
+    tags = np.asarray(tags)
+    # round 1 measured under the initial assignment [0, 1]
+    np.testing.assert_array_equal(tags[0], np.arange(2))
+    # round 2 measured under the post-swap assignment [1, 0]
+    np.testing.assert_array_equal(tags[1], np.asarray([1, 0]))
