@@ -88,6 +88,13 @@ class SDWConfig:
     # so Metropolis ratios take a sqrt — exact because det M >= 0 by the
     # model's antiunitary symmetry). "auto" = real_embed on TPU.
     fermion_repr: str = "auto"
+    # two-sector dimensional reduction for opdim <= 2 (reference: DetSDW's
+    # matrix is 2N x 2N below opdim 3, SURVEY.md §3 "SDW model"): with
+    # phi_z = 0 the 4-orbital matrix decouples into (x_up, y_dn) and its
+    # complex conjugate (x_dn, y_up), so the physical weight is
+    # |det M_A|^2 on a HALF-size matrix. "auto" = reduce when opdim <= 2;
+    # "full" forces the 4N representation (cross-validation / oracle).
+    fermion_matrix: str = "auto"
     dtype: str = "float32"
     stab_dtype: str = "auto"
 
@@ -199,9 +206,31 @@ class SDWModel:
                           and cfg.opdim >= 2)
         else:
             raise ValueError(f"bad fermion_repr {cfg.fermion_repr!r}")
-        self.n_orb = 2 * N_ORB if self.embed else N_ORB
+        if cfg.fermion_matrix == "auto":
+            self.reduced = cfg.opdim <= 2
+        elif cfg.fermion_matrix in ("full", "reduced"):
+            if cfg.fermion_matrix == "reduced" and cfg.opdim == 3:
+                raise ValueError("opdim=3 has no two-sector reduction "
+                                 "(phi_z couples the sectors)")
+            self.reduced = cfg.fermion_matrix == "reduced"
+        else:
+            raise ValueError(f"bad fermion_matrix {cfg.fermion_matrix!r}")
+        # base orbitals: reduced sector A = (x_up, y_dn); full = 4 orbitals
+        self.n_orb_base = 2 if self.reduced else N_ORB
+        self.n_orb = (2 if self.embed else 1) * self.n_orb_base
         self.dim = self.n_orb * cfg.n_sites
         self.cdtype = cfg.jdtype if self.embed else cfg.cdtype
+        # _chain_logdet returns the model-representation log|det|; this
+        # factor converts it to the PHYSICAL fermionic log-weight
+        # log(det M_A det M_B) = 2 log|det M_A|:
+        #   reduced+embed:  det rho(M_A) = |det M_A|^2  -> x1 (exact!)
+        #   reduced:        log|det M_A|                -> x2
+        #   full+embed:     2 log|det M_full|           -> x0.5
+        #   full:           log|det M_full|             -> x1
+        if self.reduced:
+            self.logdet_fac = 1.0 if self.embed else 2.0
+        else:
+            self.logdet_fac = 0.5 if self.embed else 1.0
         if self.embed and jnp.dtype(cfg.stab_jdtype).kind == "c":
             self.stab_dtype_eff = jnp.dtype(
                 "float64" if jnp.dtype(cfg.stab_jdtype).itemsize == 16
@@ -215,22 +244,26 @@ class SDWModel:
         Ky = self.lat.hopping_matrix(1.0, tx=cfg.tyhor, ty=cfg.tyver)
         expKx, expKx_inv = kinetic_exponentials(Kx, cfg.dtau, cfg.mu)
         expKy, expKy_inv = kinetic_exponentials(Ky, cfg.dtau, cfg.mu)
-        # orbital-major order: (x_up, x_dn, y_up, y_dn) [+ Im copies when
-        # embedded: each complex orbital contributes a (Re, Im) pair with
-        # the same real kinetic matrix]
+        # orbital-major order: (x_up, x_dn, y_up, y_dn), or the reduced
+        # sector (x_up, y_dn) [+ Im copies when embedded: each complex
+        # orbital contributes a (Re, Im) pair with the same real kinetic
+        # matrix]
         reps = 2 if self.embed else 1
-        self.expK = jnp.asarray(
-            np.stack([expKx, expKx, expKy, expKy] * reps), cdt)
-        self.expK_inv = jnp.asarray(
-            np.stack([expKx_inv, expKx_inv, expKy_inv, expKy_inv] * reps),
-            cdt)
-        self.K_orb = jnp.asarray(np.stack([Kx, Kx, Ky, Ky] * reps), cdt)
+        if self.reduced:
+            ek, eki, ko = [expKx, expKy], [expKx_inv, expKy_inv], [Kx, Ky]
+        else:
+            ek = [expKx, expKx, expKy, expKy]
+            eki = [expKx_inv, expKx_inv, expKy_inv, expKy_inv]
+            ko = [Kx, Kx, Ky, Ky]
+        self.expK = jnp.asarray(np.stack(ek * reps), cdt)
+        self.expK_inv = jnp.asarray(np.stack(eki * reps), cdt)
+        self.K_orb = jnp.asarray(np.stack(ko * reps), cdt)
         # The real-embedded path uses split Re/Im pauli copies: the axon
         # TPU backend implements no complex ops at all — even transferring
         # a complex constant to the device poisons the async stream with a
         # deferred UNIMPLEMENTED error — so the complex stack is only
         # created when the complex representation is actually in use.
-        if not self.embed:
+        if not self.embed and not self.reduced:
             self.paulis = jnp.asarray(_pauli_stack(cfg.opdim), cfg.cdtype)
         self.paulis_re = jnp.asarray(
             np.real(_pauli_stack(cfg.opdim)), cfg.jdtype)
@@ -277,6 +310,8 @@ class SDWModel:
                          cfg.dtau * cfg.lam)                    # sinh/|phi|
         # [[ch 1, s Phi], [s Phi^H, ch 1]]: V = lam [[0, Phi], [Phi^H, 0]]
         # and sinh(a) V/(lam|phi|) = (sinh(a)/|phi|) [[0, Phi], [Phi^H, 0]]
+        if self.reduced:
+            return self._assemble_reduced(phi_slice, ch_r, sh_r, sign)
         if self.embed:
             return self._assemble_embedded(phi_slice, ch_r, sh_r, sign)
         cdt = cfg.cdtype
@@ -290,6 +325,39 @@ class SDWModel:
         row1 = jnp.concatenate([ch[:, None, None] * eye2, off], axis=-1)
         row2 = jnp.concatenate([offH, ch[:, None, None] * eye2], axis=-1)
         return jnp.concatenate([row1, row2], axis=-2)           # (N, 4, 4)
+
+    def _assemble_reduced(self, phi_site, ch, sh_over, sign):
+        """Sector-A block exp(sign dtau V_A), V_A = lam [[0, p], [p*, 0]],
+        p = phi_x - i phi_y (phi_z = 0 below opdim 3, so the 4-orbital
+        matrix decouples; reference: DetSDW's 2N x 2N case, SURVEY.md §3).
+        Closed form exp = cosh(a) 1 + sign sinh(a)/(lam |phi|) V_A.
+        Returns (..., 2, 2) real (opdim 1) / complex (opdim 2), or the
+        (..., 4, 4) real embedding rho(B) on TPU. Works for single sites
+        ((opdim,) input) and slices ((N, opdim))."""
+        cfg = self.cfg
+        dt = cfg.jdtype
+        px = phi_site[..., 0]
+        py = (phi_site[..., 1] if cfg.opdim >= 2 else jnp.zeros_like(px))
+        ch = jnp.asarray(ch, dt)
+        s = sign * jnp.asarray(sh_over, dt)
+        off_re, off_im = s * px, -s * py      # off = s * p
+        if self.embed:
+            z = jnp.zeros_like(ch)
+            reB = jnp.stack([jnp.stack([ch, off_re], -1),
+                             jnp.stack([off_re, ch], -1)], -2)
+            imB = jnp.stack([jnp.stack([z, off_im], -1),
+                             jnp.stack([-off_im, z], -1)], -2)
+            top = jnp.concatenate([reB, -imB], axis=-1)
+            bot = jnp.concatenate([imB, reB], axis=-1)
+            return jnp.concatenate([top, bot], axis=-2)   # (..., 4, 4)
+        if cfg.opdim == 1:
+            return jnp.stack([jnp.stack([ch, off_re], -1),
+                              jnp.stack([off_re, ch], -1)], -2)
+        cdt = cfg.cdtype
+        off = (off_re + 1j * off_im).astype(cdt)
+        chc = ch.astype(cdt)
+        return jnp.stack([jnp.stack([chc, off], -1),
+                          jnp.stack([jnp.conj(off), chc], -1)], -2)
 
     def _assemble_embedded(self, phi_slice, ch, sh_over, sign):
         """rho of the 4x4 block assembled from purely real pieces:
@@ -455,7 +523,15 @@ class SDWModel:
             G_II = G[jnp.ix_(idx, idx)]
             A = eye4 + mm(Delta, eye4 - G_II)
             R = jnp.linalg.det(A)
-            if self.embed:
+            if self.reduced:
+                # physical ratio = |R_A|^2 (the conjugate sector B
+                # contributes conj(R_A)); with the real embedding
+                # det rho(A) = |R_A|^2 IS the physical ratio — no sqrt
+                if self.embed:
+                    weight = jnp.maximum(jnp.real(R), 0.0) * jnp.exp(-dS)
+                else:
+                    weight = (jnp.abs(R) ** 2) * jnp.exp(-dS)
+            elif self.embed:
                 # det rho(A) = |det A|^2; the physical ratio det A is real
                 # and non-negative by the model's antiunitary symmetry
                 weight = jnp.sqrt(jnp.maximum(jnp.real(R), 0.0)) \
@@ -473,8 +549,8 @@ class SDWModel:
             G = G - gate * upd
             phi = phi.at[l_idx, i].set(
                 jnp.where(accept, phi_new, phi_old))
-            if self.embed:
-                pass  # ratios are real non-negative; phase stays 1
+            if self.embed or self.reduced:
+                pass  # physical ratios are real non-negative; phase stays 1
             else:
                 phase = jnp.where(accept, phase * R / jnp.abs(R), phase)
             return (G, phi, phase), gate
@@ -491,6 +567,8 @@ class SDWModel:
         ch_r = jnp.cosh(a)
         sh_r = jnp.where(nrm > 0, jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
                          cfg.dtau * cfg.lam)
+        if self.reduced:
+            return self._assemble_reduced(phi_i, ch_r, sh_r, sign)
         if self.embed:
             return self._assemble_embedded(phi_i, ch_r, sh_r, sign)
         cdt = cfg.cdtype
@@ -518,12 +596,15 @@ class SDWModel:
         phi2 = jnp.sum(phi ** 2, axis=-1)                       # (m, N)
         phibar = phi.mean(axis=(0, 1))                          # (opdim,)
         chi = cfg.beta * N * jnp.sum(phibar ** 2)
-        # embedded traces double-count (tr rho(G) = 2 Re tr G)
+        # embedded traces double-count (tr rho(G) = 2 Re tr G); the reduced
+        # representation carries only sector A, whose conjugate sector B
+        # contributes identically to every real trace -> x2
         tr_fac = 2.0 if self.embed else 1.0
-        occ = (N_ORB - jnp.real(jnp.trace(G)) / (tr_fac * N))
+        sector = 2.0 if self.reduced else 1.0
+        occ = (N_ORB - sector * jnp.real(jnp.trace(G)) / (tr_fac * N))
         # kinetic: sum_o tr(K_o G_o) with G_o the (N,N) diagonal block
         Gorb = G.reshape(self.n_orb, N, self.n_orb, N)
-        e_kin = -jnp.real(sum(
+        e_kin = -sector * jnp.real(sum(
             jnp.sum(self.K_orb[o].T * Gorb[o, :, o, :])
             for o in range(self.n_orb))) / (tr_fac * N)
         return SDWObservables(
@@ -666,8 +747,7 @@ class SDWModel:
         else:
             ld_old, _ = self._chain_logdet(state.phi)
             ld_new, _ = self._chain_logdet(phi_new)
-            fac = 0.5 if self.embed else 1.0  # embedded logdet = 2 log det
-            log_ratio = fac * (ld_new - ld_old) - dS
+            log_ratio = self.logdet_fac * (ld_new - ld_old) - dS
         accept = jnp.log(jax.random.uniform(
             k_a, (), dtype=cfg.jdtype)) < log_ratio
         phi = jnp.where(accept, phi_new, state.phi)
@@ -749,9 +829,9 @@ class SDWModel:
         else:
             ld_old, _ = self._chain_logdet(state.phi)
             ld_new, _ = self._chain_logdet(phi_new)
-            fac = 0.5 if self.embed else 1.0
             accept = jnp.log(jax.random.uniform(
-                k_acc, (), dtype=cfg.jdtype)) < fac * (ld_new - ld_old)
+                k_acc, (), dtype=cfg.jdtype)) \
+                < self.logdet_fac * (ld_new - ld_old)
         phi = jnp.where(accept, phi_new, state.phi)
         st = state._replace(phi=phi, key=key)
         return self.refresh_from_field(st), accept, in_cluster.sum()

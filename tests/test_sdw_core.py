@@ -21,7 +21,7 @@ def make(opdim=2, L=2, beta=2.0, m=8, s=2, **kw):
 
 @pytest.mark.parametrize("opdim", [1, 2, 3])
 def test_exp_v_blocks_vs_expm(opdim):
-    cfg, model, state = make(opdim)
+    cfg, model, state = make(opdim, fermion_matrix="full")
     oracle = SDWOracle(L=2, opdim=opdim, beta=2.0, m=8)
     phi_slice = np.asarray(state.phi[0])
     blocks = np.asarray(model.exp_v_blocks(jnp.asarray(phi_slice)))
@@ -42,7 +42,7 @@ def test_exp_v_blocks_vs_expm(opdim):
 
 @pytest.mark.parametrize("opdim", [1, 3])
 def test_b_apply_vs_dense(opdim):
-    cfg, model, state = make(opdim)
+    cfg, model, state = make(opdim, fermion_matrix="full")
     oracle = SDWOracle(L=2, opdim=opdim, beta=2.0, m=8)
     phi_slice = np.asarray(state.phi[3])
     B = oracle.b_mat(phi_slice)
@@ -66,7 +66,7 @@ def test_b_apply_vs_dense(opdim):
 
 @pytest.mark.parametrize("opdim", [1, 2, 3])
 def test_fixed_field_green_matches_oracle(opdim):
-    cfg, model, state = make(opdim)
+    cfg, model, state = make(opdim, fermion_matrix="full")
     oracle = SDWOracle(L=2, opdim=opdim, beta=2.0, m=8)
     G_oracle = oracle.green(np.asarray(state.phi), 0)
     np.testing.assert_allclose(np.asarray(state.G), G_oracle, atol=1e-8)
@@ -84,7 +84,7 @@ def test_update_slice_ratio_and_woodbury():
     """Force-accept updates in one slice; G must match the from-scratch
     stabilized Green of the new field (validates the 4x4 det ratio and the
     rank-4 Woodbury update)."""
-    cfg, model, state = make(2)
+    cfg, model, state = make(2, fermion_matrix="full")
     oracle = SDWOracle(L=2, opdim=2, r=0.0, beta=2.0, m=8)
     l = 3
     G = jnp.asarray(oracle.green(np.asarray(state.phi), l), cfg.cdtype)
@@ -191,3 +191,74 @@ def test_real_embedding_global_moves():
     refreshed = model.refresh_from_field(state)
     np.testing.assert_allclose(np.asarray(state.G),
                                np.asarray(refreshed.G), atol=1e-10)
+
+
+# ---- two-sector reduction (opdim <= 2): reduced == full physics ----------
+
+def _sector_a_indices(N):
+    """Full-layout rows of sector A = (x_up, y_dn) = orbitals (0, 3)."""
+    return np.concatenate([np.arange(N), 3 * N + np.arange(N)])
+
+
+@pytest.mark.parametrize("opdim", [1, 2])
+def test_reduced_green_is_sector_block(opdim):
+    """The reduced model's G equals the (x_up, y_dn) sub-block of the full
+    4N Green for the same field (the sectors decouple when phi_z = 0)."""
+    full = SDWModel(SDWConfig(L=2, opdim=opdim, beta=2.0, m=8, s=2,
+                              dtype="float64", fermion_matrix="full"))
+    red = SDWModel(SDWConfig(L=2, opdim=opdim, beta=2.0, m=8, s=2,
+                             dtype="float64", fermion_matrix="reduced"))
+    sf = full.init_state(jax.random.key(opdim))
+    sr = red.init_state(jax.random.key(opdim))
+    np.testing.assert_allclose(np.asarray(sf.phi), np.asarray(sr.phi))
+    N = full.cfg.n_sites
+    idx = _sector_a_indices(N)
+    G_full = np.asarray(sf.G)
+    np.testing.assert_allclose(np.asarray(sr.G),
+                               G_full[np.ix_(idx, idx)], atol=1e-10)
+    # the cross-sector blocks of the full G vanish identically
+    idx_b = np.concatenate([N + np.arange(N), 2 * N + np.arange(N)])
+    assert np.abs(G_full[np.ix_(idx, idx_b)]).max() < 1e-12
+
+
+@pytest.mark.parametrize("opdim", [1, 2])
+def test_reduced_matches_full_markov_chain(opdim):
+    """Same RNG stream -> identical phi trajectories and observables:
+    the reduced weight |det M_A|^2 equals the full det M (both sectors)."""
+    base = dict(L=2, opdim=opdim, r=0.5, beta=2.0, m=8, s=2,
+                dtype="float64")
+    full = SDWModel(SDWConfig(**base, fermion_matrix="full"))
+    red = SDWModel(SDWConfig(**base, fermion_matrix="reduced"))
+    sf = full.init_state(jax.random.key(7))
+    sr = red.init_state(jax.random.key(7))
+    for _ in range(2):
+        sf, of = full.sweep_pair(sf, measure=True)
+        sr, orr = red.sweep_pair(sr, measure=True)
+    np.testing.assert_allclose(np.asarray(sf.phi), np.asarray(sr.phi),
+                               atol=1e-9)
+    for name in ("phiSquared", "occupancy", "kineticEnergy", "bosonAction",
+                 "acceptance"):
+        np.testing.assert_allclose(float(getattr(of, name)),
+                                   float(getattr(orr, name)), atol=1e-8,
+                                   err_msg=name)
+    assert float(sr.green_dev) < 1e-8
+
+
+def test_reduced_global_moves_match_full():
+    """Global shift/Wolff Metropolis ratios agree between representations
+    (logdet_fac bookkeeping): same RNG -> same accept decisions."""
+    base = dict(L=2, opdim=2, r=0.5, beta=1.0, m=4, s=2, dtype="float64",
+                globalShift=True, wolffClusterUpdate=True)
+    full = SDWModel(SDWConfig(**base, fermion_matrix="full"))
+    red = SDWModel(SDWConfig(**base, fermion_matrix="reduced"))
+    sf = full.init_state(jax.random.key(11))
+    sr = red.init_state(jax.random.key(11))
+    for _ in range(3):
+        sf, af = full.attempt_global_shift(sf)
+        sr, ar = red.attempt_global_shift(sr)
+        assert bool(af) == bool(ar)
+        sf, wf, _ = full.attempt_wolff_update(sf)
+        sr, wr, _ = red.attempt_wolff_update(sr)
+        assert bool(wf) == bool(wr)
+    np.testing.assert_allclose(np.asarray(sf.phi), np.asarray(sr.phi),
+                               atol=1e-9)
