@@ -123,6 +123,7 @@ _SDW_KEYS = {
     "txhor": float, "txver": float, "tyhor": float, "tyver": float,
     "mu": float, "opdim": int,
     "beta": float, "m": int, "dtau": float, "s": int,
+    "checkerboard": _to_bool,
     "updateMethod": str, "delay": int, "dtype": str,
     "globalShift": _to_bool, "wolffClusterUpdate": _to_bool,
     "globalUpdateInterval": int, "turnoffFermions": _to_bool,
@@ -258,6 +259,8 @@ def build_sdw_config(model_params: Dict[str, str]):
             f"updateMethod must be iterative|delayed, got {upd!r}")
     if upd == "iterative":
         typed["delay"] = 0
+    elif "delay" not in typed:
+        typed["delay"] = 16  # reference-style default delaySteps
     try:
         return SDWConfig(beta=beta, m=m, **typed)
     except (TypeError, ValueError) as e:

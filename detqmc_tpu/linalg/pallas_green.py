@@ -42,6 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from detqmc_tpu.linalg import df32
 
 MAX_TILE = 16  # batch elements per grid step (VMEM ~ 10*T*n^2*4B)
+VMEM_BUDGET = 8 * 1024 * 1024  # scratch budget; kernel uses ~10*T*n^2*4B
+
+
+def _max_tile(n: int) -> int:
+    """Largest walker tile whose ~10 (T, n, n) f32 scratch buffers fit the
+    VMEM budget (SDW dims reach 512 where even T=1 needs ~10 MB)."""
+    return max(1, min(MAX_TILE, VMEM_BUDGET // (10 * n * n * 4)))
 
 
 def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
@@ -134,7 +141,7 @@ def _call_batched(innerT_hi, innerT_lo, r1, *, interpret: bool):
     """B = inner^T: (Bt, n, n) batched over walkers*spins; r1: (Bt, 1, n)."""
     Bt, n, _ = innerT_hi.shape
     T = 1
-    for t in range(min(MAX_TILE, Bt), 0, -1):
+    for t in range(min(_max_tile(n), Bt), 0, -1):
         if Bt % t == 0:
             T = t
             break

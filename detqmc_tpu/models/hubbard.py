@@ -336,8 +336,9 @@ class HubbardModel:
         # forced-reject" slots
         site_ids = jnp.concatenate(
             [jnp.arange(N), jnp.full((pad,), N - 1, jnp.int32)])
-        u01p = jnp.concatenate([u01, jnp.full((pad,), 2.0, u01.dtype)])
-        # u01 >= 1 never accepts (|R|<inf), so pad slots are inert
+        u01p = jnp.concatenate([u01, jnp.full((pad,), jnp.inf, u01.dtype)])
+        # u01 = +inf never accepts (weights are finite), so pad slots are
+        # inert even when a repeat-flip ratio would exceed any finite bound
 
         def block_step(carry, b):
             G, field_l, sign = carry

@@ -75,8 +75,18 @@ class SDWConfig:
     beta: float = 4.0
     m: int = 40
     s: int = 4                  # stabilization interval
-    delay: int = 0              # reserved (iterative Woodbury is default)
+    # delayed (block) updates: buffer `delay` accepted rank-n_orb Woodbury
+    # updates and flush them with one blocked MXU gemm (reference:
+    # updateMethod=delayed, SURVEY.md §3 "SDW model"); 0 = immediate
+    # iterative/Woodbury updates
+    delay: int = 0
     box_width: float = 1.0      # phi proposal box half-width (tunable)
+    # checkerboard hopping-exponential breakup (reference:
+    # CheckerboardMethod / CB_ASSAAD_BERG, SURVEY.md §3 "Checkerboard
+    # hopping"): exp(-dtau K_band) factors into 4 bond groups of disjoint
+    # 2x2 mixers with per-band anisotropic coefficients — an O(N) apply
+    # instead of an O(N^2) gemm per operand column
+    checkerboard: bool = False
     globalShift: bool = False
     wolffClusterUpdate: bool = False
     globalUpdateInterval: int = 5   # sweeps between global moves
@@ -95,6 +105,11 @@ class SDWConfig:
     # |det M_A|^2 on a HALF-size matrix. "auto" = reduce when opdim <= 2;
     # "full" forces the 4N representation (cross-validation / oracle).
     fermion_matrix: str = "auto"
+    # "auto": df32 Pallas stabilization kernel on TPU when the fermion
+    # matrix is real f32 and the f64 precision island is active (XLA's
+    # emulated-f64 QR has ~90 ms latency per call); "xla" forces the
+    # generic path; "pallas" forces the kernel (interpret mode off-TPU)
+    green_kernel: str = "auto"
     dtype: str = "float32"
     stab_dtype: str = "auto"
 
@@ -103,6 +118,10 @@ class SDWConfig:
             raise ValueError(f"m={self.m} must be divisible by s={self.s}")
         if self.opdim not in (1, 2, 3):
             raise ValueError("opdim must be 1, 2 or 3")
+        if self.delay < 0:
+            raise ValueError("delay must be >= 0")
+        if self.checkerboard and self.L % 2 != 0:
+            raise ValueError("checkerboard requires even L")
 
     @property
     def dtau(self) -> float:
@@ -270,7 +289,56 @@ class SDWModel:
         self.paulis_im = jnp.asarray(
             np.imag(_pauli_stack(cfg.opdim)), cfg.jdtype)
         self.nb = jnp.asarray(self.lat.neighbors(), jnp.int32)  # (N, 4)
+        if cfg.checkerboard:
+            # per-orbital group coefficients: groups (0, 1) are horizontal
+            # bonds (amplitude t_hor of that orbital's band), (2, 3)
+            # vertical; K has -t on bonds so each group factor is
+            # [[cosh(dtau t), sinh(dtau t)], [sinh, cosh]] per bond pair,
+            # and the uniform mu enters as one scalar e^{dtau mu} per apply
+            self.cb_partner = jnp.asarray(self.lat.checkerboard_groups(),
+                                          jnp.int32)            # (4, N)
+            bands = (["x", "y"] if self.reduced
+                     else ["x", "x", "y", "y"]) * reps
+            th = np.array([cfg.txhor if b == "x" else cfg.tyhor
+                           for b in bands])
+            tv = np.array([cfg.txver if b == "x" else cfg.tyver
+                           for b in bands])
+            tg = np.stack([th, th, tv, tv], axis=1)             # (n_orb, 4)
+            self.cb_cosh = jnp.asarray(np.cosh(cfg.dtau * tg), cdt)
+            self.cb_sinh = jnp.asarray(np.sinh(cfg.dtau * tg), cdt)
+            self.cb_gamma = float(np.exp(cfg.dtau * cfg.mu))
+        # df32 stabilization kernel: requires a REAL f32 fermion matrix
+        # (embed or opdim 1) with the f64 compose island active
+        island = self.stab_dtype_eff != self.cdtype
+        real_f32 = self.cdtype == jnp.dtype("float32")
+        if cfg.green_kernel == "auto":
+            self._green_pallas = (jax.default_backend() == "tpu"
+                                  and island and real_f32)
+            self._green_interpret = False
+        elif cfg.green_kernel == "pallas":
+            if not real_f32:
+                raise ValueError("green_kernel='pallas' needs a real f32 "
+                                 "fermion matrix (embed or opdim 1)")
+            self._green_pallas = True
+            self._green_interpret = jax.default_backend() != "tpu"
+        elif cfg.green_kernel == "xla":
+            self._green_pallas = False
+            self._green_interpret = False
+        else:
+            raise ValueError(f"unknown green_kernel {cfg.green_kernel!r}")
         self._jit_cache = {}
+
+    def _green(self, left: UDV, right_t: UDV) -> jax.Array:
+        """Stabilized G from factored halves on the fastest valid path
+        (same dispatch as HubbardModel._green)."""
+        if self._green_pallas:
+            from detqmc_tpu.linalg.udv import green_from_two_udv_df32
+
+            return green_from_two_udv_df32(
+                left, right_t, interpret=self._green_interpret)
+        return green_from_two_udv(
+            left, right_t, compute_dtype=self.stab_dtype_eff
+        ).astype(self.cdtype)
 
     # ---- potential factor ---------------------------------------------------
     def _embed(self, blocks: jax.Array) -> jax.Array:
@@ -406,6 +474,8 @@ class SDWModel:
 
     def kinetic_mult_left(self, X: jax.Array, inv=False,
                           transpose=False) -> jax.Array:
+        if self.cfg.checkerboard:
+            return self._kinetic_cb_left(X, inv, transpose)
         E = self.expK_inv if inv else self.expK
         if transpose:
             E = jnp.swapaxes(E, -1, -2)
@@ -413,10 +483,45 @@ class SDWModel:
         return self._from_orb(jnp.einsum("onm,omk->onk", E, Xo))
 
     def kinetic_mult_right(self, X: jax.Array, inv=False) -> jax.Array:
+        if self.cfg.checkerboard:
+            return self._kinetic_cb_right(X, inv)
         E = self.expK_inv if inv else self.expK
         k = X.shape[0]
         Xo = X.reshape(k, self.n_orb, self.cfg.n_sites)
         Xo = jnp.einsum("kom,omn->kon", Xo, E)
+        return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
+
+    def _kinetic_cb_left(self, X, inv, transpose):
+        """Checkerboard E @ X: E = F0 F1 F2 F3, every F symmetric with
+        det 1 per bond, so E^T reverses the group order and E^{-1} flips
+        the sinh sign (same ordering logic as linalg/bchain.py)."""
+        Xo = self._as_orb(X)                          # (n_orb, N, k)
+        groups = list(range(4))[::-1] if transpose == inv else \
+            list(range(4))
+        sgn = -1.0 if inv else 1.0
+        for g in groups:
+            p = self.cb_partner[g]
+            c = self.cb_cosh[:, g][:, None, None]
+            s = sgn * self.cb_sinh[:, g][:, None, None]
+            Xo = c * Xo + s * jnp.take(Xo, p, axis=1)
+        if self.cfg.mu != 0.0:
+            gam = self.cb_gamma if not inv else 1.0 / self.cb_gamma
+            Xo = Xo * jnp.asarray(gam, Xo.dtype)
+        return self._from_orb(Xo)
+
+    def _kinetic_cb_right(self, X, inv):
+        k = X.shape[0]
+        Xo = X.reshape(k, self.n_orb, self.cfg.n_sites)
+        groups = list(range(4))[::-1] if inv else list(range(4))
+        sgn = -1.0 if inv else 1.0
+        for g in groups:
+            p = self.cb_partner[g]
+            c = self.cb_cosh[:, g][None, :, None]
+            s = sgn * self.cb_sinh[:, g][None, :, None]
+            Xo = c * Xo + s * jnp.take(Xo, p, axis=2)
+        if self.cfg.mu != 0.0:
+            gam = self.cb_gamma if not inv else 1.0 / self.cb_gamma
+            Xo = Xo * jnp.asarray(gam, Xo.dtype)
         return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
 
     # B = D_V expK (potential leftmost, same convention as Hubbard)
@@ -487,9 +592,12 @@ class SDWModel:
 
     def update_slice(self, G, phi, l_1based, key, phase, box_w, r=None):
         """Sequential single-site phi updates in slice l (reference:
-        DetSDW::updateInSlice with updateMethod=iterative/woodbury).
-        G: (dim, dim); phi: (m, N, opdim). Returns updated (G, phi, key,
-        phase, acc_rate)."""
+        DetSDW::updateInSlice with updateMethod=iterative/woodbury/
+        delayed). G: (dim, dim); phi: (m, N, opdim). Returns updated
+        (G, phi, key, phase, acc_rate)."""
+        if self.cfg.delay > 0 and not self.cfg.turnoffFermions:
+            return self._update_slice_delayed(G, phi, l_1based, key,
+                                              phase, box_w, r)
         cfg = self.cfg
         cdt = self.cdtype
         N = cfg.n_sites
@@ -558,6 +666,103 @@ class SDWModel:
         (G, phi, phase), acc = jax.lax.scan(
             site_step, (G, phi, phase), jnp.arange(N))
         return G, phi, key, phase, acc.mean()
+
+    def _update_slice_delayed(self, G, phi, l_1based, key, phase, box_w,
+                              r=None):
+        """Delayed (block rank-k) variant of update_slice (reference:
+        updateMethod=delayed, SURVEY.md §3 "SDW model"): accepted rank-q
+        Woodbury updates (q = n_orb) accumulate in (dim, delay*q) buffers;
+        each site reconstructs its affected rows/columns from G plus the
+        pending buffers (O(dim * delay * q) work instead of an O(dim^2)
+        outer product), and every `delay` sites one blocked
+        (dim, kq) @ (kq, dim) MXU gemm flushes the buffers into G.
+        Identical Markov chain to the iterative path (same RNG draws,
+        exact algebra)."""
+        cfg = self.cfg
+        cdt = self.cdtype
+        q = self.n_orb
+        N, kd = cfg.n_sites, cfg.delay
+        if r is None:
+            r = jnp.asarray(cfg.r, cfg.jdtype)
+        l_idx = l_1based - 1
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        deltas = jax.random.uniform(
+            k_prop, (N, cfg.opdim), dtype=cfg.jdtype,
+            minval=-1.0, maxval=1.0) * box_w
+        u01 = jax.random.uniform(k_acc, (N,), dtype=cfg.jdtype)
+        eyeq = jnp.eye(q, dtype=cdt)
+
+        n_blocks = -(-N // kd)
+        pad = n_blocks * kd - N
+        # pad tail with inert slots: u01 = +inf never accepts (weights are
+        # finite), so padded sites change nothing
+        site_ids = jnp.concatenate(
+            [jnp.arange(N), jnp.full((pad,), N - 1, jnp.int32)])
+        u01p = jnp.concatenate([u01, jnp.full((pad,), jnp.inf, u01.dtype)])
+        deltas_p = jnp.concatenate(
+            [deltas, jnp.zeros((pad, cfg.opdim), deltas.dtype)])
+
+        def block_step(carry, b):
+            G, phi, phase = carry
+            Ubuf = jnp.zeros((self.dim, kd * q), cdt)
+            Wbuf = jnp.zeros((kd * q, self.dim), cdt)
+
+            def site_step(c, j):
+                G, phi, Ubuf, Wbuf, phase = c
+                t = b * kd + j
+                i = site_ids[t]
+                phi_old = phi[l_idx, i]
+                phi_new = phi_old + deltas_p[t]
+                dS = (self._local_action(phi, l_idx, i, phi_new, r)
+                      - self._local_action(phi, l_idx, i, phi_old, r))
+                ev_new = self._exp_v_single(phi_new, -1.0)
+                ev_old_inv = self._exp_v_single(phi_old, +1.0)
+                Delta = mm(ev_new, ev_old_inv) - eyeq
+                idx = self._site_indices(i)
+                # effective rows/cols of G including pending updates
+                g_cols = G[:, idx] + mm(Ubuf, Wbuf[:, idx])     # (dim, q)
+                g_rows = G[idx, :] + mm(Ubuf[idx, :], Wbuf)     # (q, dim)
+                G_II = g_cols[idx, :]
+                A = eyeq + mm(Delta, eyeq - G_II)
+                R = jnp.linalg.det(A)
+                if self.reduced:
+                    if self.embed:
+                        weight = jnp.maximum(jnp.real(R), 0.0) \
+                            * jnp.exp(-dS)
+                    else:
+                        weight = (jnp.abs(R) ** 2) * jnp.exp(-dS)
+                elif self.embed:
+                    weight = jnp.sqrt(jnp.maximum(jnp.real(R), 0.0)) \
+                        * jnp.exp(-dS)
+                else:
+                    weight = jnp.abs(R) * jnp.exp(-dS)
+                accept = u01p[t] < weight
+                gate = accept.astype(cfg.jdtype)
+                Ainv_D = jnp.linalg.solve(A, Delta)
+                rowsI = -g_rows
+                rowsI = rowsI.at[jnp.arange(q), idx].add(1.0)
+                Ucol = (-gate) * mm(g_cols, Ainv_D)             # (dim, q)
+                z = jnp.int32(0)
+                Ubuf = jax.lax.dynamic_update_slice(Ubuf, Ucol, (z, j * q))
+                Wbuf = jax.lax.dynamic_update_slice(Wbuf, rowsI, (j * q, z))
+                phi = phi.at[l_idx, i].set(
+                    jnp.where(accept, phi_new, phi_old))
+                if not (self.embed or self.reduced):
+                    phase = jnp.where(accept, phase * R / jnp.abs(R),
+                                      phase)
+                return (G, phi, Ubuf, Wbuf, phase), gate
+
+            (G, phi, Ubuf, Wbuf, phase), acc = jax.lax.scan(
+                site_step, (G, phi, Ubuf, Wbuf, phase),
+                jnp.arange(kd, dtype=jnp.int32))
+            G = G + mm(Ubuf, Wbuf)  # flush: one blocked MXU gemm
+            return (G, phi, phase), acc
+
+        (G, phi, phase), acc = jax.lax.scan(
+            block_step, (G, phi, phase),
+            jnp.arange(n_blocks, dtype=jnp.int32))
+        acc_real = acc.reshape(-1)[:N]
+        return G, phi, key, phase, acc_real.mean()
 
     def _exp_v_single(self, phi_i: jax.Array, sign: float) -> jax.Array:
         """exp(sign * dtau * V) for one site: (n_orb, n_orb)."""
@@ -664,12 +869,9 @@ class SDWModel:
             f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
             other = UDV(entry_U, entry_d, entry_V)
             if up:
-                G_stab = green_from_two_udv(f_new, other,
-                                            compute_dtype=sdt)
+                G_stab = self._green(f_new, other)
             else:
-                G_stab = green_from_two_udv(other, f_new,
-                                            compute_dtype=sdt)
-            G_stab = G_stab.astype(cdt)
+                G_stab = self._green(other, f_new)
             dev = jnp.maximum(dev, jnp.abs(G - G_stab).max())
             G = G_stab
             if measure:
@@ -913,9 +1115,7 @@ class SDWModel:
         cfg = self.cfg
         stack = self._build_right_stack(state.phi)
         full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
-        G = green_from_two_udv(self._eye_mixed(), full_t,
-                               compute_dtype=self.stab_dtype_eff
-                               ).astype(self.cdtype)
+        G = self._green(self._eye_mixed(), full_t)
         return state._replace(
             G=G, stack_U=stack.U, stack_d=stack.d, stack_V=stack.V,
             next_dir=jnp.asarray(0, jnp.int32))

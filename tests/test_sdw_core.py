@@ -262,3 +262,94 @@ def test_reduced_global_moves_match_full():
         assert bool(wf) == bool(wr)
     np.testing.assert_allclose(np.asarray(sf.phi), np.asarray(sr.phi),
                                atol=1e-9)
+
+
+@pytest.mark.parametrize("opdim,fm", [(1, "auto"), (2, "auto"),
+                                      (2, "full"), (3, "auto")])
+def test_delayed_updates_match_iterative(opdim, fm):
+    """updateMethod=delayed buffers rank-q updates and flushes with one
+    blocked gemm; the Markov chain must be IDENTICAL to the iterative
+    path (same RNG draws, exact algebra)."""
+    base = dict(L=2, opdim=opdim, r=0.5, beta=2.0, m=8, s=2,
+                dtype="float64", fermion_matrix=fm)
+    it = SDWModel(SDWConfig(**base, delay=0))
+    dl = SDWModel(SDWConfig(**base, delay=3))  # 3 does not divide N=4: pad
+    si = it.init_state(jax.random.key(13))
+    sd = dl.init_state(jax.random.key(13))
+    for _ in range(2):
+        si, oi = it.sweep_pair(si, measure=True)
+        sd, od = dl.sweep_pair(sd, measure=True)
+    np.testing.assert_allclose(np.asarray(si.phi), np.asarray(sd.phi),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(si.G), np.asarray(sd.G),
+                               atol=1e-8)
+    for name in ("phiSquared", "occupancy", "kineticEnergy", "acceptance"):
+        np.testing.assert_allclose(float(getattr(oi, name)),
+                                   float(getattr(od, name)), atol=1e-8,
+                                   err_msg=name)
+    assert float(sd.green_dev) < 1e-8
+
+
+# ---- checkerboard hopping breakup -----------------------------------------
+
+@pytest.mark.parametrize("opdim", [1, 3])
+def test_checkerboard_kinetic_algebra(opdim):
+    """The factored kinetic satisfies the exact algebraic identities
+    E E^{-1} = 1 and (E^T apply) == E.T, and approximates the dense
+    exponential to the O(dtau^2) breakup error."""
+    cfg = SDWConfig(L=4, opdim=opdim, beta=2.0, m=20, s=2, dtype="float64",
+                    checkerboard=True)
+    model = SDWModel(cfg)
+    eye = jnp.eye(model.dim, dtype=model.cdtype)
+    E = np.asarray(model.kinetic_mult_left(eye))
+    Einv = np.asarray(model.kinetic_mult_left(eye, inv=True))
+    np.testing.assert_allclose(E @ Einv, np.eye(model.dim), atol=1e-12)
+    ET = np.asarray(model.kinetic_mult_left(eye, transpose=True))
+    np.testing.assert_allclose(ET, E.T, atol=1e-13)
+    # right-apply consistency: X @ E via rows == (E^T @ X^T)^T
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(model.dim, model.dim)), model.cdtype)
+    np.testing.assert_allclose(np.asarray(model.kinetic_mult_right(X)),
+                               np.asarray(X) @ E, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(model.kinetic_mult_right(X, inv=True)),
+        np.asarray(X) @ Einv, atol=1e-12)
+    # Trotter proximity to the dense exponential (breakup error only)
+    dense = SDWModel(SDWConfig(L=4, opdim=opdim, beta=2.0, m=20, s=2,
+                               dtype="float64"))
+    Ed = np.asarray(dense.kinetic_mult_left(eye))
+    assert np.abs(E - Ed).max() < 10.0 * cfg.dtau ** 2
+
+
+@pytest.mark.parametrize("delay", [0, 3])
+def test_checkerboard_sweep_self_consistent(delay):
+    """Full sweep with the checkerboard propagator: wrapped G tracks the
+    freshly stabilized one at 1e-8 (fp64), and refresh_from_field agrees —
+    the factored form is used consistently in wraps, stacks, and ratios."""
+    cfg = SDWConfig(L=2, opdim=2, r=0.5, beta=2.0, m=8, s=2,
+                    dtype="float64", checkerboard=True, delay=delay)
+    model = SDWModel(cfg)
+    state = model.init_state(jax.random.key(21))
+    for _ in range(2):
+        state, obs = model.sweep_pair(state, measure=True)
+    refreshed = model.refresh_from_field(state)
+    np.testing.assert_allclose(np.asarray(state.G),
+                               np.asarray(refreshed.G), atol=1e-8)
+    assert float(state.green_dev) < 1e-8
+    assert 0.0 < float(obs.acceptance) <= 1.0
+
+
+def test_checkerboard_delayed_matches_iterative():
+    cfg_kw = dict(L=2, opdim=2, r=0.5, beta=2.0, m=8, s=2,
+                  dtype="float64", checkerboard=True)
+    it = SDWModel(SDWConfig(**cfg_kw, delay=0))
+    dl = SDWModel(SDWConfig(**cfg_kw, delay=2))
+    si = it.init_state(jax.random.key(5))
+    sd = dl.init_state(jax.random.key(5))
+    for _ in range(2):
+        si, _ = it.sweep_pair(si, measure=False)
+        sd, _ = dl.sweep_pair(sd, measure=False)
+    np.testing.assert_allclose(np.asarray(si.phi), np.asarray(sd.phi),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(si.G), np.asarray(sd.G),
+                               atol=1e-8)
