@@ -51,6 +51,10 @@ def _max_tile(n: int) -> int:
     return max(1, min(MAX_TILE, VMEM_BUDGET // (10 * n * n * 4)))
 
 
+CHUNK = 128  # column-chunk width; lane slices must stay 128-aligned
+             # (Mosaic: "dynamic load with unaligned indices" otherwise)
+
+
 def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
             Bh, Bl, BTh, BTl, Mh, Ml, Xh, Xl, ah, al,
             *, n: int):
@@ -66,74 +70,97 @@ def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
     ah[...] = jnp.zeros_like(ah)
     al[...] = jnp.zeros_like(al)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    # The column loop is split into static chunks of width CHUNK so each
+    # chunk's updates touch only the ACTIVE trailing block: the step-j
+    # Householder vector has support on lanes >= j >= r0, so B's update is
+    # confined to rows/lanes [r0, n) and M's to rows [r0, n). The skipped
+    # regions are exactly what the former full-matrix masks zeroed —
+    # identical arithmetic at ~2-3x fewer VPU ops (triangular sum).
+    b = min(CHUNK, n)
+    for r0 in range(0, n, b):
+        sz = n - r0
+        cw = min(b, sz)
+        lane = r0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sz), 2)
+        rs = pl.ds(r0, sz)
 
-    def qr_step(j, _):
-        onehot = (lane == j).astype(Bh_in.dtype)         # (1, 1, n)
-        geq = (lane >= j).astype(Bh_in.dtype)
-        x = (Bh[:, pl.ds(j, 1), :], Bl[:, pl.ds(j, 1), :])  # (T, 1, N)
-        xm = df32.mul_f32(x, geq)
-        norm2 = df32.reduce_last(df32.mul(xm, xm), n)    # (T, 1, 1)
-        norm = df32.sqrt(norm2)
-        x0 = df32.reduce_last(df32.mul_f32(xm, onehot), n)
-        sgn = 2.0 * (x0[0] >= 0).astype(Bh_in.dtype) - 1.0
-        alpha = df32.mul_f32(norm, -sgn)                 # (T, 1, 1)
-        v = df32.sub(xm, df32.mul_f32((alpha[0] * onehot,
-                                       alpha[1] * onehot), 1.0))
-        vtv = df32.reduce_last(df32.mul(v, v), n)        # (T, 1, 1)
-        # guard the (impossible for nonsingular input) zero column
-        guard = (vtv[0] == 0).astype(Bh_in.dtype)
-        vtv = (vtv[0] + guard, vtv[1])
-        beta = df32.mul_f32(df32.recip(vtv), 2.0)        # (T, 1, 1)
+        def qr_step(jj, _, r0=r0, sz=sz, lane=lane, rs=rs):
+            j = jnp.int32(r0) + jj
+            onehot = (lane == j).astype(Bh_in.dtype)     # (1, 1, sz)
+            geq = (lane >= j).astype(Bh_in.dtype)
+            # dynamic sublane load must span full lanes (Mosaic rejects
+            # dynamic load + partial lane slice); slice the value instead
+            x_full = (Bh[:, pl.ds(j, 1), :], Bl[:, pl.ds(j, 1), :])
+            x = (x_full[0][:, :, r0:], x_full[1][:, :, r0:])
+            xm = df32.mul_f32(x, geq)
+            norm2 = df32.reduce_last(df32.mul(xm, xm), sz)  # (T, 1, 1)
+            norm = df32.sqrt(norm2)
+            x0 = df32.reduce_last(df32.mul_f32(xm, onehot), sz)
+            sgn = 2.0 * (x0[0] >= 0).astype(Bh_in.dtype) - 1.0
+            alpha = df32.mul_f32(norm, -sgn)             # (T, 1, 1)
+            v = df32.sub(xm, df32.mul_f32((alpha[0] * onehot,
+                                           alpha[1] * onehot), 1.0))
+            vtv = df32.reduce_last(df32.mul(v, v), sz)   # (T, 1, 1)
+            # guard the (impossible for nonsingular input) zero column
+            guard = (vtv[0] == 0).astype(Bh_in.dtype)
+            vtv = (vtv[0] + guard, vtv[1])
+            beta = df32.mul_f32(df32.recip(vtv), 2.0)    # (T, 1, 1)
 
-        B = (Bh[...], Bl[...])
-        s_col = df32.reduce_last(df32.mul(B, v), n)      # (T, N, 1)
-        bs = df32.mul(s_col, beta)
-        upd = df32.mul(bs, v)                            # (T, N, N)
-        newB = df32.sub(B, upd)
-        Bh[...], Bl[...] = newB
+            B = (Bh[:, rs, rs], Bl[:, rs, rs])           # (T, sz, sz)
+            s_col = df32.reduce_last(df32.mul(B, v), sz)  # (T, sz, 1)
+            bs = df32.mul(s_col, beta)
+            upd = df32.mul(bs, v)
+            newB = df32.sub(B, upd)
+            Bh[:, rs, rs], Bl[:, rs, rs] = newB
 
-        v_col = (jnp.swapaxes(v[0], -1, -2), jnp.swapaxes(v[1], -1, -2))
-        M = (Mh[...], Ml[...])
-        vtM = df32.reduce_axis2(df32.mul(M, v_col), n)   # (T, 1, N)
-        bv = df32.mul(v_col, beta)
-        updM = df32.mul(bv, vtM)
-        newM = df32.sub(M, updM)
-        Mh[...], Ml[...] = newM
+            v_col = (jnp.swapaxes(v[0], -1, -2),
+                     jnp.swapaxes(v[1], -1, -2))         # (T, sz, 1)
+            M = (Mh[:, rs, :], Ml[:, rs, :])             # (T, sz, n)
+            vtM = df32.reduce_axis2(df32.mul(M, v_col), sz)  # (T, 1, n)
+            bv = df32.mul(v_col, beta)
+            updM = df32.mul(bv, vtM)
+            newM = df32.sub(M, updM)
+            Mh[:, rs, :], Ml[:, rs, :] = newM
 
-        # record alpha_j
-        acc = df32.add((ah[...], al[...]),
-                       (alpha[0] * onehot, alpha[1] * onehot))
-        ah[...], al[...] = acc
-        return ()
+            # record alpha_j
+            acc = df32.add((ah[:, :, rs], al[:, :, rs]),
+                           (alpha[0] * onehot, alpha[1] * onehot))
+            ah[:, :, rs], al[:, :, rs] = acc
+            return ()
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), qr_step, (),
-                      unroll=False)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(cw), qr_step, ())
 
     # R rows for back-substitution live in B's columns: transpose once
     # (cheaper than keeping a synced BT through the QR loop)
     BTh[...] = jnp.swapaxes(Bh[...], -1, -2)
     BTl[...] = jnp.swapaxes(Bl[...], -1, -2)
 
-    def solve_step(jj, _):
-        j = n - 1 - jj
-        onehot = (lane == j).astype(Bh_in.dtype)
-        gt = (lane > j).astype(Bh_in.dtype)
-        Rrow = (BTh[:, pl.ds(j, 1), :], BTl[:, pl.ds(j, 1), :])
-        Rrow = df32.mul_f32(Rrow, gt)                    # strict upper
-        Rcol = (jnp.swapaxes(Rrow[0], -1, -2),
-                jnp.swapaxes(Rrow[1], -1, -2))           # (T, N, 1)
-        X = (Xh[...], Xl[...])
-        contrib = df32.reduce_axis2(df32.mul(X, Rcol), n)  # (T, 1, N)
-        Mrow = (Mh[:, pl.ds(j, 1), :], Ml[:, pl.ds(j, 1), :])
-        a_j = df32.reduce_last(df32.mul_f32((ah[...], al[...]), onehot), n)
-        xrow = df32.mul(df32.sub(Mrow, contrib), df32.recip(a_j))
-        Xh[:, pl.ds(j, 1), :] = xrow[0]
-        Xl[:, pl.ds(j, 1), :] = xrow[1]
-        return ()
+    # reverse chunk order: row j's back-substitution reads only X rows > j
+    for r0 in reversed(range(0, n, b)):
+        sz = n - r0
+        cw = min(b, sz)
+        lane = r0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sz), 2)
+        rs = pl.ds(r0, sz)
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), solve_step, (),
-                      unroll=False)
+        def solve_step(jj, _, r0=r0, sz=sz, cw=cw, lane=lane, rs=rs):
+            j = jnp.int32(r0 + cw - 1) - jj              # descend in chunk
+            onehot = (lane == j).astype(Bh_in.dtype)
+            gt = (lane > j).astype(Bh_in.dtype)
+            Rrow_full = (BTh[:, pl.ds(j, 1), :], BTl[:, pl.ds(j, 1), :])
+            Rrow = (Rrow_full[0][:, :, r0:], Rrow_full[1][:, :, r0:])
+            Rrow = df32.mul_f32(Rrow, gt)                # strict upper
+            Rcol = (jnp.swapaxes(Rrow[0], -1, -2),
+                    jnp.swapaxes(Rrow[1], -1, -2))       # (T, sz, 1)
+            X = (Xh[:, rs, :], Xl[:, rs, :])             # (T, sz, n)
+            contrib = df32.reduce_axis2(df32.mul(X, Rcol), sz)  # (T, 1, n)
+            Mrow = (Mh[:, pl.ds(j, 1), :], Ml[:, pl.ds(j, 1), :])
+            a_j = df32.reduce_last(
+                df32.mul_f32((ah[:, :, rs], al[:, :, rs]), onehot), sz)
+            xrow = df32.mul(df32.sub(Mrow, contrib), df32.recip(a_j))
+            Xh[:, pl.ds(j, 1), :] = xrow[0]
+            Xl[:, pl.ds(j, 1), :] = xrow[1]
+            return ()
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(cw), solve_step, ())
     out_ref[...] = Xh[...] + Xl[...]
 
 
