@@ -5,9 +5,13 @@ time series of a PT run directory, solve the Ferrenberg-Swendsen
 self-consistency, and write continuous <O>(r) curves (plus Binder
 cumulants) on a fine grid, with optional jackknifed errors.
 
-The exchange-conjugate action a = dtau/2 sum phi^2 is derived from the
-recorded phiSquared series and each subdirectory's info.dat (r, dtau, L,
-m) — matching how the SDW model couples to its control parameter.
+The exchange-conjugate action a = dtau/2 sum phi^2 is read from the
+per-configuration exchangeAction series when present (the model records
+the sweep-final configuration's action exactly — FS weights exp(-dr*a)
+are nonlinear in a, so averaged actions would be Jensen-biased). Runs
+recorded before that series existed fall back to reconstructing a from
+the phiSquared series (interval-averaged; biased at large |dr|) with a
+warning.
 
 Usage:
   python -m detqmc_tpu.cli.main_mrpt <pt-outdir> [--obs phiSquared]
@@ -41,13 +45,20 @@ def load_pt_run(outdir: str, obs_names, discard: int = 0):
     for sub in subdirs:
         meta = read_metadata(os.path.join(sub, "info.dat"))
         r = float(meta["r"])
-        L = int(meta["L"])
-        m = int(meta["m"])
-        beta = float(meta["beta"])
-        dtau = beta / m
-        phi2, _ = load_series(os.path.join(sub, "phiSquared.series"))
-        phi2 = phi2[discard:]
-        a = phi2 * (0.5 * dtau * m * L * L)
+        action_path = os.path.join(sub, "exchangeAction.series")
+        if os.path.exists(action_path):
+            a, _ = load_series(action_path)
+            a = a[discard:]
+        else:
+            print(f"warning: {action_path} missing; reconstructing the "
+                  "action from the interval-averaged phiSquared series "
+                  "(Jensen-biased at large |dr|)", file=sys.stderr)
+            L = int(meta["L"])
+            m = int(meta["m"])
+            beta = float(meta["beta"])
+            dtau = beta / m
+            phi2, _ = load_series(os.path.join(sub, "phiSquared.series"))
+            a = phi2[discard:] * (0.5 * dtau * m * L * L)
         r_values.append(r)
         actions.append(a)
         for name in obs_names:

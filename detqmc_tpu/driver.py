@@ -79,6 +79,8 @@ class DetQMC:
         self.handler = ObservableHandler(
             outdir=params.outdir, jk_blocks=params.jk_blocks,
             timeseries=params.timeseries, meta=self.meta)
+        self.handler.register_vectors(
+            getattr(model, "vector_observables", ()))
         self.measurements_done = 0
         self.therm_done = 0
         self._t_start = time.time()

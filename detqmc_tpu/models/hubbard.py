@@ -185,10 +185,15 @@ class Observables(NamedTuple):
 class HubbardModel:
     """Factory binding static config + device constants to jitted kernels.
 
+    ``vector_observables`` declares which observable names are vectors
+    (drivers register them so the handler never guesses from names).
+
     Not a translation of the reference's DetHubbard class: methods are pure
     functions over WalkerState pytrees; `self` only holds trace-time
     constants.
     """
+
+    vector_observables = ("spinCorrelation", "greenKTauVector")
 
     def __init__(self, cfg: HubbardConfig):
         self.cfg = cfg
@@ -642,11 +647,27 @@ class HubbardModel:
         right_t = build(transposed=True)  # entries k: (B_m..B_{ks+1})^H
         from detqmc_tpu.linalg.udv import green_tau_zero
 
-        return green_tau_zero(left, right_t, compute_dtype=sdt)
+        G_up = green_tau_zero(left, right_t, compute_dtype=sdt)
+        if not cfg.ph_on:
+            return G_up
+        # particle-hole mode: the down sector is the exact per-configuration
+        # image G_dn(tau, 0) = eta G_up(beta, tau)^T eta (eta = stagger;
+        # from eta B_dn,l eta = B_up,l^{-T} at mu = 0). The transposed
+        # G_up(beta, tau)^T = [1 + A'C']^{-1} A' = A'[1 + C'A']^{-1} with
+        # A' = B(beta,tau)^T and C' = B(tau,0)^T, which for the real field
+        # is green_tau_zero with the two stacks' roles SWAPPED — the right
+        # stack already stores B(beta,tau)^T and the left one equals
+        # C'^H = B(tau,0).
+        G_bt = green_tau_zero(right_t, left, compute_dtype=sdt)
+        eta = self.stagger.astype(G_up.dtype)
+        G_dn = eta[:, None] * G_bt * eta[None, :]
+        return jnp.concatenate([G_up, G_dn], axis=1)      # (K+1, 2, N, N)
 
     def measure_time_displaced(self, state: WalkerState) -> jax.Array:
         """Momentum-diagonal G(k, tau) on the stabilization grid:
-        (K+1, N) real (reference observable: time-displaced Green)."""
+        (K+1, N) real, spin-averaged over BOTH sectors (in ph mode the
+        down sector is reconstructed exactly — reference observable:
+        time-displaced Green)."""
         G_tau = self.time_displaced_greens(state.field)   # (K+1, 2, N, N)
         F = jnp.asarray(self.lat.fourier_phases())
         gk = jnp.einsum("kn,tcnm,mk->tck", F, G_tau.astype(jnp.complex64)

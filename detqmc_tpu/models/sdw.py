@@ -193,6 +193,11 @@ class SDWObservables(NamedTuple):
     occupancy: jax.Array        # fermion filling per site (all 4 orbitals)
     kineticEnergy: jax.Array
     bosonAction: jax.Array      # S_B / (m N)
+    # exchange-conjugate action a = dtau/2 sum phi^2 of ONE configuration
+    # (the sweep's final field, not an interval average): the
+    # Ferrenberg-Swendsen weights exp(-dr*a) are nonlinear in a, so mrpt
+    # must see single-configuration samples (Jensen bias otherwise)
+    exchangeAction: jax.Array
     phase: jax.Array            # Re of the tracked det phase
     acceptance: jax.Array
 
@@ -207,6 +212,8 @@ def _pauli_stack(opdim: int) -> np.ndarray:
 class SDWModel:
     """Factory binding static config + device constants to jitted kernels
     (structure mirrors HubbardModel)."""
+
+    vector_observables = ()
 
     def __init__(self, cfg: SDWConfig):
         self.cfg = cfg
@@ -820,6 +827,7 @@ class SDWModel:
             occupancy=occ,
             kineticEnergy=e_kin,
             bosonAction=self.boson_action(phi) / (cfg.m * N),
+            exchangeAction=0.5 * cfg.dtau * jnp.sum(phi ** 2),
             phase=jnp.real(phase),
             acceptance=acc_rate,
         )
@@ -918,7 +926,10 @@ class SDWModel:
         n_meas = jnp.asarray(K, cfg.jdtype)
         obs_mean = jax.tree.map(lambda a: a / n_meas, obs_sum)
         obs_mean = obs_mean._replace(
-            acceptance=acc_sum / jnp.asarray(cfg.m, cfg.jdtype))
+            acceptance=acc_sum / jnp.asarray(cfg.m, cfg.jdtype),
+            # single-configuration sample (final field), NOT the interval
+            # average — see SDWObservables.exchangeAction
+            exchangeAction=0.5 * cfg.dtau * jnp.sum(phi ** 2))
         return new_state, obs_mean
 
     def sweep_up(self, state, measure=False):
@@ -931,6 +942,8 @@ class SDWModel:
         state, o1 = self._sweep(state, up=True, measure=measure)
         state, o2 = self._sweep(state, up=False, measure=measure)
         obs = jax.tree.map(lambda a, b: 0.5 * (a + b), o1, o2)
+        # keep the pair-final single-configuration action (no averaging)
+        obs = obs._replace(exchangeAction=o2.exchangeAction)
         return state, obs
 
     # ---- global moves ----------------------------------------------------------

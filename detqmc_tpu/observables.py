@@ -48,6 +48,14 @@ class ObservableHandler:
         self._vector: Dict[str, List[np.ndarray]] = {}
         self._writers: Dict[str, SeriesWriter] = {}
 
+    def register_vectors(self, names) -> None:
+        """Explicitly declare vector observables (a 2-D batch for any name
+        here is (T, k), never (T, W)) — models expose
+        ``vector_observables`` so classification never falls back to the
+        name-suffix heuristic."""
+        for n in names:
+            self._vector.setdefault(n, [])
+
     # -- insertion ---------------------------------------------------------
     def insert_batch(self, values: Dict[str, np.ndarray]) -> None:
         """values[name]: (T,), (T, W), (T, k) or (T, W, k) arrays."""
@@ -124,6 +132,8 @@ class ObservableHandler:
     def vector_results(self) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         out = {}
         for name in self._vector:
+            if not self._vector[name]:
+                continue  # registered but never measured
             series = self.vector_series(name)  # (T, k)
             nb = min(self.jk_blocks, max(2, series.shape[0] // 2))
             blocks = statistics.rebin(series, nb)
@@ -153,9 +163,11 @@ class ObservableHandler:
     def state_dict(self) -> Dict[str, np.ndarray]:
         out = {}
         for name in self._scalar:
-            out[f"scalar:{name}"] = np.concatenate(self._scalar[name], 0)
+            if self._scalar[name]:
+                out[f"scalar:{name}"] = np.concatenate(self._scalar[name], 0)
         for name in self._vector:
-            out[f"vector:{name}"] = np.concatenate(self._vector[name], 0)
+            if self._vector[name]:
+                out[f"vector:{name}"] = np.concatenate(self._vector[name], 0)
         return out
 
     def load_state_dict(self, d: Dict[str, np.ndarray]) -> None:

@@ -17,12 +17,13 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from detqmc_tpu import checkpoint as ckpt_mod
 from detqmc_tpu import compile_cache
 from detqmc_tpu.driver import DriverConfig
 from detqmc_tpu.metadata import Metadata, write_metadata
@@ -64,6 +65,8 @@ class DetQMCPT:
                 meta={**self.meta, "r": str(float(r_values[k]))})
             for k in range(self.R)
         ]
+        for h in self.handlers:
+            h.register_vectors(getattr(model, "vector_observables", ()))
         self.measurements_done = 0
         self.therm_done = 0
         self._t_start = time.time()
@@ -116,39 +119,128 @@ class DetQMCPT:
         self.states = None
         self.pt_state = None
 
-    def init(self) -> None:
+    # -- checkpoint / resume (reference: PT saves per-rank state + master
+    # assignment, SURVEY.md §6 "Checkpoint / resume") ------------------------
+    @property
+    def _ckpt_path(self) -> Optional[str]:
+        if self.p.outdir is None:
+            return None
+        return os.path.join(self.p.outdir, "state")
+
+    def save(self) -> None:
+        if self._ckpt_path is None or self.states is None:
+            return
+        extra: Dict[str, np.ndarray] = {}
+        for k, h in enumerate(self.handlers):
+            for name, arr in h.state_dict().items():
+                extra[f"p{k}|{name}"] = arr
+        pt = self.pt_state
+        extra["pt|param_of_replica"] = np.asarray(pt.param_of_replica)
+        extra["pt|key"] = np.asarray(jax.random.key_data(pt.key))
+        extra["pt|n_attempted"] = np.asarray(pt.n_attempted)
+        extra["pt|n_accepted"] = np.asarray(pt.n_accepted)
+        extra["pt|parity"] = np.asarray(pt.parity)
+        manifest: Dict[str, Any] = {
+            "measurements_done": self.measurements_done,
+            "therm_done": self.therm_done,
+            "meta": self.meta,
+        }
+        ckpt_mod.save_checkpoint(self._ckpt_path, self.states, extra,
+                                 manifest)
+
+    def init(self, resume: bool = True) -> None:
+        loaded = None
+        if resume and self._ckpt_path:
+            loaded = ckpt_mod.load_checkpoint(self._ckpt_path)
         keys = jax.random.split(jax.random.key(self.p.seed), self.R)
-        self.states = jax.jit(jax.vmap(self.model.init_state))(keys)
-        self.states = jax.vmap(self.model.with_r)(
-            self.states, self.r_values)
-        self.pt_state = pt_mod.init_pt(
-            self.R, jax.random.key(self.p.seed + 7919))
+        if loaded is None:
+            self.states = jax.jit(jax.vmap(self.model.init_state))(keys)
+            self.states = jax.vmap(self.model.with_r)(
+                self.states, self.r_values)
+            self.pt_state = pt_mod.init_pt(
+                self.R, jax.random.key(self.p.seed + 7919))
+            return
+        arrays, extra, manifest = loaded
+        blank = jax.jit(jax.vmap(self.model.init_state))(keys)
+        restored = ckpt_mod.restore_state(blank, arrays)
+        self.states = jax.jit(
+            jax.vmap(self.model.refresh_from_field))(restored)
+        self.pt_state = pt_mod.PTState(
+            param_of_replica=jnp.asarray(extra["pt|param_of_replica"],
+                                         jnp.int32),
+            key=jax.random.wrap_key_data(jnp.asarray(extra["pt|key"])),
+            n_attempted=jnp.asarray(extra["pt|n_attempted"], jnp.int32),
+            n_accepted=jnp.asarray(extra["pt|n_accepted"], jnp.int32),
+            parity=jnp.asarray(extra["pt|parity"], jnp.int32),
+        )
+        for k, h in enumerate(self.handlers):
+            pref = f"p{k}|"
+            h.load_state_dict({key[len(pref):]: arr
+                               for key, arr in extra.items()
+                               if key.startswith(pref)})
+        self.measurements_done = int(manifest.get("measurements_done", 0))
+        self.therm_done = int(manifest.get("therm_done", 0))
+
+    def _out_of_time(self, margin: float = 0.0) -> bool:
+        if self.p.walltime_secs <= 0:
+            return False
+        return (time.time() - self._t_start + margin) >= self.p.walltime_secs
 
     def run(self) -> Dict[int, Dict[str, Tuple[float, float]]]:
+        """Thermalize + measure with walltime-aware checkpointing; a
+        resumed run continues the exact Markov chain (reference: the
+        batch-queue stop/resubmit pattern, SURVEY.md §6)."""
         if self.states is None:
             self.init()
         carry = (self.states, self.pt_state)
-        n_t = max(1, self.p.thermalization // self.ptp.exchange_interval)
-        carry = self._therm_block(carry, n_t)
-        self.therm_done = n_t * self.ptp.exchange_interval
+        ei = self.ptp.exchange_interval
+        rounds_total = max(1, self.p.thermalization // ei)
+        rounds_done = self.therm_done // ei
+        t_block = 0.0
+        while rounds_done < rounds_total:
+            n = min(max(1, self.p.block_meas), rounds_total - rounds_done)
+            t0 = time.time()
+            carry = self._therm_block(carry, n)
+            jax.block_until_ready(carry[0].phi if hasattr(carry[0], "phi")
+                                  else carry[0].G)
+            t_block = time.time() - t0
+            rounds_done += n
+            self.therm_done = rounds_done * ei
+            self.states, self.pt_state = carry
+            if self._out_of_time(margin=t_block):
+                self.save()
+                return {k: h.results()
+                        for k, h in enumerate(self.handlers)}
 
         n_meas = self.p.n_measurements
-        block = min(self.p.block_meas, n_meas)
-        done = 0
-        while done < n_meas:
-            n = min(block, n_meas - done)
+        block = min(self.p.block_meas, max(1, n_meas))
+        while self.measurements_done < n_meas:
+            n = min(block, n_meas - self.measurements_done)
+            t0 = time.time()
             carry, (obs, param_idx) = self._meas_block(carry, n)
             obs_np = {k: np.asarray(v) for k, v in obs._asdict().items()}
+            t_block = time.time() - t0
             pidx = np.asarray(param_idx)        # (T, R)
-            # tag each replica's measurement with its parameter index
-            for t in range(pidx.shape[0]):
-                for rep in range(self.R):
-                    k = int(pidx[t, rep])
-                    self.handlers[k].insert_batch(
-                        {name: arr[t, rep][None]
-                         for name, arr in obs_np.items()})
-            done += n
+            # route each (measurement, replica) sample to its parameter's
+            # handler: one boolean-mask selection per parameter value
+            # (vectorized over the whole block)
+            for k in range(self.R):
+                mask = pidx == k
+                if not mask.any():
+                    continue
+                self.handlers[k].insert_batch(
+                    {name: arr[mask] for name, arr in obs_np.items()})
+            self.measurements_done += n
+            self.states, self.pt_state = carry
+            if (self.p.save_interval and self.measurements_done % max(
+                    self.p.save_interval, 1) < block):
+                self.save()
+            if self._out_of_time(margin=t_block):
+                self.save()
+                break
+
         self.states, self.pt_state = carry
+        self.save()
 
         results = {}
         for k, h in enumerate(self.handlers):

@@ -150,3 +150,64 @@ def test_meas_round_tags_pre_exchange_assignment():
     np.testing.assert_array_equal(tags[0], np.arange(2))
     # round 2 measured under the post-swap assignment [1, 0]
     np.testing.assert_array_equal(tags[1], np.asarray([1, 0]))
+
+
+def test_pt_checkpoint_resume_determinism(tmp_path):
+    """A PT run interrupted after half its measurements and resumed by a
+    fresh DetQMCPT must produce the same final chain state and the same
+    per-parameter sample counts as an uninterrupted run (reference: PT
+    saves per-rank state + assignment; SURVEY.md §6)."""
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    cfg = SDWConfig(L=2, opdim=1, r=0.0, u=0.5, beta=1.0, m=4, s=2,
+                    turnoffFermions=True, dtype="float64")
+    r_values = [0.0, 0.5, 1.0]
+    ptp = PTConfig(exchange_interval=1)
+
+    def make(outdir, sweeps):
+        p = DriverConfig(sweeps=sweeps, thermalization=4, n_walkers=1,
+                         seed=5, block_meas=4, outdir=outdir, jk_blocks=2,
+                         timeseries=True)
+        return DetQMCPT(SDWModel(cfg), r_values, p, ptp)
+
+    # uninterrupted
+    full = make(str(tmp_path / "full"), 8)
+    full.run()
+
+    # interrupted: 4 measurements, save, then a FRESH object resumes
+    part = make(str(tmp_path / "split"), 4)
+    part.run()
+    cont = make(str(tmp_path / "split"), 8)
+    cont.run()
+    assert cont.measurements_done == 8
+    np.testing.assert_allclose(np.asarray(cont.states.phi),
+                               np.asarray(full.states.phi), atol=1e-10)
+    np.testing.assert_array_equal(
+        np.asarray(cont.pt_state.param_of_replica),
+        np.asarray(full.pt_state.param_of_replica))
+    np.testing.assert_array_equal(
+        np.asarray(cont.pt_state.n_accepted),
+        np.asarray(full.pt_state.n_accepted))
+    for k in range(3):
+        assert cont.handlers[k].n_samples() == full.handlers[k].n_samples()
+        np.testing.assert_allclose(
+            cont.handlers[k].scalar_series("phiSquared"),
+            full.handlers[k].scalar_series("phiSquared"), atol=1e-10)
+
+
+def test_pt_walltime_stops_and_saves(tmp_path):
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    cfg = SDWConfig(L=2, opdim=1, r=0.0, u=0.5, beta=1.0, m=4, s=2,
+                    turnoffFermions=True, dtype="float64")
+    p = DriverConfig(sweeps=10_000, thermalization=4, n_walkers=1, seed=6,
+                     block_meas=2, outdir=str(tmp_path / "wt"),
+                     walltime_secs=1e-9)  # expire immediately
+    qmc = DetQMCPT(SDWModel(cfg), [0.0, 1.0], p, PTConfig())
+    qmc.run()
+    assert qmc.measurements_done < 10_000
+    assert (tmp_path / "wt" / "state.npz").exists()

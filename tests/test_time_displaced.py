@@ -60,3 +60,26 @@ def test_gk_tau_properties():
         tau = k_stack * cfg.s * cfg.dtau
         expected = np.exp(-tau * eps) / (1.0 + np.exp(-cfg.beta * eps))
         np.testing.assert_allclose(gk[k_stack], expected, atol=1e-9)
+
+def test_ph_mode_time_displaced_matches_two_sector():
+    """In ph mode the down sector of G(k, tau) is reconstructed from the
+    exact particle-hole image G_dn(tau,0) = eta G_up(beta,tau)^T eta;
+    the spin-averaged observable must match a two-sector run on the SAME
+    field configuration elementwise."""
+    import jax
+
+    from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+
+    kw = dict(L=2, U=4.0, mu=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    m2 = HubbardModel(HubbardConfig(**kw, ph_symmetry="off"))
+    mp = HubbardModel(HubbardConfig(**kw, ph_symmetry="on"))
+    key = jax.random.key(3)
+    s2 = m2.init_state(key)
+    sp = mp.init_state(key)  # same field draw (independent of ncomp)
+    np.testing.assert_array_equal(np.asarray(s2.field), np.asarray(sp.field))
+    gk2 = np.asarray(m2.measure_time_displaced(s2))
+    gkp = np.asarray(mp.measure_time_displaced(sp))
+    np.testing.assert_allclose(gkp, gk2, atol=1e-9)
+    # both sectors present: the raw greens stack to (K+1, 2, N, N)
+    G = np.asarray(mp.time_displaced_greens(sp.field))
+    assert G.shape[1] == 2
