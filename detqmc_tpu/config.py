@@ -126,6 +126,7 @@ _SDW_KEYS = {
     "checkerboard": _to_bool,
     "updateMethod": str, "delay": int, "dtype": str,
     "globalShift": _to_bool, "wolffClusterUpdate": _to_bool,
+    "wolffClusterShiftUpdate": _to_bool,
     "globalUpdateInterval": int, "turnoffFermions": _to_bool,
     "boxLength": float, "accRatio": float,
     "spinProposalMethod": str,
@@ -245,14 +246,10 @@ def build_sdw_config(model_params: Dict[str, str]):
         typed["lam"] = typed.pop("lambda")
     if "boxLength" in typed:
         typed["box_width"] = typed.pop("boxLength")
-    # accRatio targeting lives in the driver (tune_proposals); the
-    # reference's spinProposalMethod variants beyond BOX are not yet
-    # implemented — accept and validate the key for config parity
+    # accRatio targeting lives in the driver (tune_proposals)
     typed.pop("accRatio", None)
-    spm = typed.pop("spinProposalMethod", "box")
-    if spm.lower() not in ("box",):
-        raise ConfigurationError(
-            f"spinProposalMethod {spm!r} not implemented (use 'box')")
+    if "spinProposalMethod" in typed:
+        typed["spinProposalMethod"] = typed["spinProposalMethod"].lower()
     upd = typed.pop("updateMethod", "iterative")
     if upd not in ("iterative", "delayed"):
         raise ConfigurationError(

@@ -87,8 +87,23 @@ class SDWConfig:
     # 2x2 mixers with per-band anisotropic coefficients — an O(N) apply
     # instead of an O(N^2) gemm per operand column
     checkerboard: bool = False
+    # single-site proposal kind (reference: spinProposalMethod =
+    # BOX | ROTATE_THEN_SCALE | ROTATE_AND_SCALE, SURVEY.md §3):
+    #   box              phi' = phi + box_width * uniform[-1,1]^opdim
+    #   rotate_then_scale  alternate sweeps: direction resample at fixed
+    #                      |phi| / symmetric-in-|phi|^2 radius proposal
+    #   rotate_and_scale   both in one proposal
+    # radius proposals in r^2 = |phi|^2 carry the measure factor
+    # (r'^2/r^2)^{(opdim-2)/2} in the Metropolis ratio.
+    spinProposalMethod: str = "box"
     globalShift: bool = False
     wolffClusterUpdate: bool = False
+    # compound cluster move (reference: wolffClusterShiftUpdate): Wolff
+    # reflection about a random axis e + a global shift delta PERP e (so
+    # the cluster bond strengths (phi.e)(phi'.e) are shift-invariant and
+    # the construction stays balanced); accepted with the r/u potential
+    # difference + full stabilized fermion determinant ratio
+    wolffClusterShiftUpdate: bool = False
     globalUpdateInterval: int = 5   # sweeps between global moves
     turnoffFermions: bool = False
     # fermion-matrix representation for opdim >= 2 (complex matrices):
@@ -122,6 +137,14 @@ class SDWConfig:
             raise ValueError("delay must be >= 0")
         if self.checkerboard and self.L % 2 != 0:
             raise ValueError("checkerboard requires even L")
+        if self.spinProposalMethod not in (
+                "box", "rotate_then_scale", "rotate_and_scale"):
+            raise ValueError("spinProposalMethod must be box|"
+                             "rotate_then_scale|rotate_and_scale, got "
+                             f"{self.spinProposalMethod!r}")
+        if self.spinProposalMethod != "box" and self.opdim == 1:
+            raise ValueError("rotate/scale proposals need opdim >= 2 "
+                             "(an Ising field has no direction to rotate)")
 
     @property
     def dtau(self) -> float:
@@ -597,35 +620,83 @@ class SDWModel:
         N = self.cfg.n_sites
         return jnp.arange(self.n_orb) * N + i
 
-    def update_slice(self, G, phi, l_1based, key, phase, box_w, r=None):
+    def _draw_proposal_randoms(self, key, box_w):
+        """Per-slice random draws for the configured spinProposalMethod.
+        Returns (key, u01, rnd) with rnd the method-specific arrays."""
+        cfg = self.cfg
+        N = cfg.n_sites
+        key, k_prop, k_acc = jax.random.split(key, 3)
+        u01 = jax.random.uniform(k_acc, (N,), dtype=cfg.jdtype)
+        if cfg.spinProposalMethod == "box":
+            deltas = jax.random.uniform(
+                k_prop, (N, cfg.opdim), dtype=cfg.jdtype,
+                minval=-1.0, maxval=1.0) * box_w
+            return key, u01, (deltas,)
+        k_dir, k_r = jax.random.split(k_prop)
+        dirs = jax.random.normal(k_dir, (N, cfg.opdim), dtype=cfg.jdtype)
+        gs = jax.random.normal(k_r, (N,), dtype=cfg.jdtype)
+        return key, u01, (dirs, gs)
+
+    def _propose_site(self, phi_old, i, rnd, box_w, alt):
+        """Site proposal -> (phi_new, log measure factor).
+
+        box: symmetric additive box, factor 0. rotate: uniform direction
+        resample at fixed |phi| (symmetric, factor 0). scale: reflected
+        Gaussian in r^2 = |phi|^2 (symmetric in r^2), whose d^n phi
+        measure contributes (r'^2/r^2)^{(opdim-2)/2} to the Metropolis
+        ratio. rotate_then_scale alternates by sweep parity ``alt``;
+        rotate_and_scale combines both in one proposal."""
+        cfg = self.cfg
+        if cfg.spinProposalMethod == "box":
+            (deltas,) = rnd
+            return phi_old + deltas[i], jnp.zeros((), cfg.jdtype)
+        dirs, gs = rnd
+        tiny = 1e-30
+        r2_old = jnp.sum(phi_old ** 2)
+        r_old = jnp.sqrt(jnp.maximum(r2_old, tiny))
+        d = dirs[i]
+        dir_new = d / jnp.sqrt(jnp.maximum(jnp.sum(d ** 2), tiny))
+        r2_new = jnp.abs(r2_old + box_w * gs[i])
+        r_new = jnp.sqrt(jnp.maximum(r2_new, tiny))
+        jac_scale = (0.5 * (cfg.opdim - 2)
+                     * (jnp.log(jnp.maximum(r2_new, tiny))
+                        - jnp.log(jnp.maximum(r2_old, tiny)))
+                     ).astype(cfg.jdtype)
+        if cfg.spinProposalMethod == "rotate_and_scale":
+            return r_new * dir_new, jac_scale
+        rot = r_old * dir_new
+        scl = phi_old * (r_new / r_old)
+        phi_new = jnp.where(alt == 0, rot, scl)
+        jac = jnp.where(alt == 0, jnp.zeros((), cfg.jdtype), jac_scale)
+        return phi_new, jac
+
+    def update_slice(self, G, phi, l_1based, key, phase, box_w, r=None,
+                     alt=0):
         """Sequential single-site phi updates in slice l (reference:
         DetSDW::updateInSlice with updateMethod=iterative/woodbury/
-        delayed). G: (dim, dim); phi: (m, N, opdim). Returns updated
+        delayed). G: (dim, dim); phi: (m, N, opdim). ``alt`` is the sweep
+        parity used by rotate_then_scale proposals. Returns updated
         (G, phi, key, phase, acc_rate)."""
         if self.cfg.delay > 0 and not self.cfg.turnoffFermions:
             return self._update_slice_delayed(G, phi, l_1based, key,
-                                              phase, box_w, r)
+                                              phase, box_w, r, alt)
         cfg = self.cfg
         cdt = self.cdtype
         N = cfg.n_sites
         if r is None:
             r = jnp.asarray(cfg.r, cfg.jdtype)
         l_idx = l_1based - 1
-        key, k_prop, k_acc = jax.random.split(key, 3)
-        deltas = jax.random.uniform(
-            k_prop, (N, cfg.opdim), dtype=cfg.jdtype,
-            minval=-1.0, maxval=1.0) * box_w
-        u01 = jax.random.uniform(k_acc, (N,), dtype=cfg.jdtype)
+        key, u01, rnd = self._draw_proposal_randoms(key, box_w)
         eye4 = jnp.eye(self.n_orb, dtype=cdt)
 
         def site_step(carry, i):
             G, phi, phase = carry
             phi_old = phi[l_idx, i]
-            phi_new = phi_old + deltas[i]
+            phi_new, jac = self._propose_site(phi_old, i, rnd, box_w, alt)
             dS = (self._local_action(phi, l_idx, i, phi_new, r)
                   - self._local_action(phi, l_idx, i, phi_old, r))
             if cfg.turnoffFermions:
-                accept = u01[i] < jnp.exp(-dS)
+                accept = u01[i] < jnp.exp(jac - dS)
                 phi = phi.at[l_idx, i].set(
                     jnp.where(accept, phi_new, phi_old))
                 return (G, phi, phase), accept.astype(cfg.jdtype)
@@ -643,16 +714,16 @@ class SDWModel:
                 # contributes conj(R_A)); with the real embedding
                 # det rho(A) = |R_A|^2 IS the physical ratio — no sqrt
                 if self.embed:
-                    weight = jnp.maximum(jnp.real(R), 0.0) * jnp.exp(-dS)
+                    weight = jnp.maximum(jnp.real(R), 0.0) * jnp.exp(jac - dS)
                 else:
-                    weight = (jnp.abs(R) ** 2) * jnp.exp(-dS)
+                    weight = (jnp.abs(R) ** 2) * jnp.exp(jac - dS)
             elif self.embed:
                 # det rho(A) = |det A|^2; the physical ratio det A is real
                 # and non-negative by the model's antiunitary symmetry
                 weight = jnp.sqrt(jnp.maximum(jnp.real(R), 0.0)) \
-                    * jnp.exp(-dS)
+                    * jnp.exp(jac - dS)
             else:
-                weight = jnp.abs(R) * jnp.exp(-dS)
+                weight = jnp.abs(R) * jnp.exp(jac - dS)
             accept = u01[i] < weight
             # Woodbury rank-4: G' = G - G[:,I] [A^{-1} Delta] (1-G)[I,:]
             Ainv_D = jnp.linalg.solve(A, Delta)
@@ -675,7 +746,7 @@ class SDWModel:
         return G, phi, key, phase, acc.mean()
 
     def _update_slice_delayed(self, G, phi, l_1based, key, phase, box_w,
-                              r=None):
+                              r=None, alt=0):
         """Delayed (block rank-k) variant of update_slice (reference:
         updateMethod=delayed, SURVEY.md §3 "SDW model"): accepted rank-q
         Woodbury updates (q = n_orb) accumulate in (dim, delay*q) buffers;
@@ -692,11 +763,7 @@ class SDWModel:
         if r is None:
             r = jnp.asarray(cfg.r, cfg.jdtype)
         l_idx = l_1based - 1
-        key, k_prop, k_acc = jax.random.split(key, 3)
-        deltas = jax.random.uniform(
-            k_prop, (N, cfg.opdim), dtype=cfg.jdtype,
-            minval=-1.0, maxval=1.0) * box_w
-        u01 = jax.random.uniform(k_acc, (N,), dtype=cfg.jdtype)
+        key, u01, rnd = self._draw_proposal_randoms(key, box_w)
         eyeq = jnp.eye(q, dtype=cdt)
 
         n_blocks = -(-N // kd)
@@ -706,8 +773,8 @@ class SDWModel:
         site_ids = jnp.concatenate(
             [jnp.arange(N), jnp.full((pad,), N - 1, jnp.int32)])
         u01p = jnp.concatenate([u01, jnp.full((pad,), jnp.inf, u01.dtype)])
-        deltas_p = jnp.concatenate(
-            [deltas, jnp.zeros((pad, cfg.opdim), deltas.dtype)])
+        rnd = tuple(jnp.concatenate(
+            [a, jnp.ones((pad,) + a.shape[1:], a.dtype)]) for a in rnd)
 
         def block_step(carry, b):
             G, phi, phase = carry
@@ -719,7 +786,8 @@ class SDWModel:
                 t = b * kd + j
                 i = site_ids[t]
                 phi_old = phi[l_idx, i]
-                phi_new = phi_old + deltas_p[t]
+                phi_new, jac = self._propose_site(phi_old, t, rnd, box_w,
+                                                  alt)
                 dS = (self._local_action(phi, l_idx, i, phi_new, r)
                       - self._local_action(phi, l_idx, i, phi_old, r))
                 ev_new = self._exp_v_single(phi_new, -1.0)
@@ -735,14 +803,14 @@ class SDWModel:
                 if self.reduced:
                     if self.embed:
                         weight = jnp.maximum(jnp.real(R), 0.0) \
-                            * jnp.exp(-dS)
+                            * jnp.exp(jac - dS)
                     else:
-                        weight = (jnp.abs(R) ** 2) * jnp.exp(-dS)
+                        weight = (jnp.abs(R) ** 2) * jnp.exp(jac - dS)
                 elif self.embed:
                     weight = jnp.sqrt(jnp.maximum(jnp.real(R), 0.0)) \
-                        * jnp.exp(-dS)
+                        * jnp.exp(jac - dS)
                 else:
-                    weight = jnp.abs(R) * jnp.exp(-dS)
+                    weight = jnp.abs(R) * jnp.exp(jac - dS)
                 accept = u01p[t] < weight
                 gate = accept.astype(cfg.jdtype)
                 Ainv_D = jnp.linalg.solve(A, Delta)
@@ -859,7 +927,8 @@ class SDWModel:
                                                        sign=+1.0)
                     G = self.wrap_up(G, blocks_old, blocks_old_inv)
                 G, phi, key, phase, acc = self.update_slice(
-                    G, phi, l, key, phase, box_w, state.r)
+                    G, phi, l, key, phase, box_w, state.r,
+                    alt=state.sweeps_done % 2)
                 blocks_new = self.exp_v_blocks(phi[l - 1])
                 if up:
                     lazy_U = self.b_mult_left(blocks_new, lazy_U)
@@ -969,28 +1038,17 @@ class SDWModel:
         st = state._replace(phi=phi, key=key)
         return self.refresh_from_field(st), accept
 
-    def attempt_wolff_update(self, state: SDWState):
-        """Embedded O(n) Wolff cluster reflection (reference:
-        attemptWolffClusterUpdate, SURVEY.md §9 "Wolff").
+    def _grow_wolff_cluster(self, phi, e, k_seed, k_bonds):
+        """Wolff cluster on the (m, N) space-time lattice for reflection
+        axis e: bonds activate with p = 1 - exp(min(0, -2 K_bond s_i s_j)),
+        s = phi . e, K_spatial = dtau, K_temporal = 1/(c^2 dtau).
 
-        A random reflection axis e is drawn; the cluster grows over
-        space-time bonds with the bosonic bond probabilities
-            p = 1 - exp(min(0, -2 K_bond s_i s_j)),  s = phi . e,
-        K_spatial = dtau, K_temporal = 1/(c^2 dtau). The r- and u-terms are
-        reflection-invariant, so only the fermion determinant enters the
-        Metropolis accept (full stabilized recompute, like the reference).
-
-        TPU-shaped: the data-dependent cluster growth is a bounded
+        TPU-shaped: the data-dependent growth is a bounded
         ``lax.while_loop`` frontier expansion on (m, N) boolean masks —
-        each iteration processes ALL frontier bonds at once.
-        """
+        each iteration processes ALL frontier bonds at once."""
         cfg = self.cfg
         m, N = cfg.m, cfg.n_sites
-        key, k_axis, k_seed, k_bonds, k_acc = jax.random.split(state.key, 5)
-        # reflection axis
-        e = jax.random.normal(k_axis, (cfg.opdim,), dtype=cfg.jdtype)
-        e = e / jnp.sqrt(jnp.sum(e ** 2))
-        s = jnp.einsum("lno,o->ln", state.phi, e)          # (m, N)
+        s = jnp.einsum("lno,o->ln", phi, e)                # (m, N)
         seed = jax.random.randint(k_seed, (2,), 0,
                                   jnp.asarray([m, N]))
         in_cluster = jnp.zeros((m, N), bool).at[seed[0], seed[1]].set(True)
@@ -1000,8 +1058,6 @@ class SDWModel:
         nb = self.nb                                        # (N, 4)
 
         def neighbors_of(mask):
-            """For each of 6 directions: the set reachable from `mask` and
-            the bond coupling."""
             outs = []
             for d in range(4):                              # spatial
                 outs.append((mask[:, nb[:, d]], k_sp))
@@ -1032,12 +1088,27 @@ class SDWModel:
             _in_c, frontier, _key = carry
             return frontier.any()
 
-        in_cluster, _, key = jax.lax.while_loop(
+        in_cluster, _, _ = jax.lax.while_loop(
             cond, body, (in_cluster, in_cluster, k_bonds))
+        # reflected field: phi -> phi - 2 (phi.e) e inside the cluster
+        refl = phi - 2.0 * s[..., None] * e[None, None, :]
+        phi_refl = jnp.where(in_cluster[..., None], refl, phi)
+        return in_cluster, phi_refl
 
-        # reflect: phi -> phi - 2 (phi.e) e inside the cluster
-        refl = state.phi - 2.0 * s[..., None] * e[None, None, :]
-        phi_new = jnp.where(in_cluster[..., None], refl, state.phi)
+    def attempt_wolff_update(self, state: SDWState):
+        """Embedded O(n) Wolff cluster reflection (reference:
+        attemptWolffClusterUpdate, SURVEY.md §9 "Wolff").
+
+        The cluster construction balances the gradient/tau bond terms and
+        the r/u terms are reflection-invariant, so only the fermion
+        determinant enters the Metropolis accept (full stabilized
+        recompute, like the reference)."""
+        cfg = self.cfg
+        key, k_axis, k_seed, k_bonds, k_acc = jax.random.split(state.key, 5)
+        e = jax.random.normal(k_axis, (cfg.opdim,), dtype=cfg.jdtype)
+        e = e / jnp.sqrt(jnp.sum(e ** 2))
+        in_cluster, phi_new = self._grow_wolff_cluster(
+            state.phi, e, k_seed, k_bonds)
 
         if cfg.turnoffFermions:
             accept = jnp.asarray(True)
@@ -1051,6 +1122,50 @@ class SDWModel:
         st = state._replace(phi=phi, key=key)
         return self.refresh_from_field(st), accept, in_cluster.sum()
 
+    def attempt_wolff_shift_update(self, state: SDWState):
+        """Compound cluster-reflection + global-shift move (reference:
+        wolffClusterShiftUpdate, SURVEY.md §3 "SDW model").
+
+        The shift delta is drawn PERPENDICULAR to the reflection axis e:
+        then (i) s = phi . e is shift-invariant, so the cluster bond
+        probabilities are identical for the forward and reverse moves
+        (the construction stays balanced), and (ii) reflection and shift
+        commute. Gradient/tau terms are invariant under the uniform
+        shift (differences) and balanced by the cluster for the
+        reflection, so the acceptance carries only the r/u potential
+        difference plus the full stabilized fermion determinant ratio."""
+        cfg = self.cfg
+        key, k_axis, k_seed, k_bonds, k_d, k_acc = jax.random.split(
+            state.key, 6)
+        e = jax.random.normal(k_axis, (cfg.opdim,), dtype=cfg.jdtype)
+        e = e / jnp.sqrt(jnp.sum(e ** 2))
+        g = jax.random.normal(k_d, (cfg.opdim,), dtype=cfg.jdtype) \
+            * state.box_width
+        delta = g - jnp.sum(g * e) * e                  # delta . e = 0
+        in_cluster, phi_refl = self._grow_wolff_cluster(
+            state.phi, e, k_seed, k_bonds)
+        phi_new = phi_refl + delta
+
+        # r/u potential difference (gradient/tau terms cancel or are
+        # balanced by the cluster construction)
+        def s_pot(phi):
+            phi2 = jnp.sum(phi ** 2, axis=-1)
+            return cfg.dtau * (0.5 * state.r * jnp.sum(phi2)
+                               + 0.25 * cfg.u * jnp.sum(phi2 ** 2))
+
+        dS = s_pot(phi_new) - s_pot(state.phi)
+        if cfg.turnoffFermions:
+            log_ratio = -dS
+        else:
+            ld_old, _ = self._chain_logdet(state.phi)
+            ld_new, _ = self._chain_logdet(phi_new)
+            log_ratio = self.logdet_fac * (ld_new - ld_old) - dS
+        accept = jnp.log(jax.random.uniform(
+            k_acc, (), dtype=cfg.jdtype)) < log_ratio
+        phi = jnp.where(accept, phi_new, state.phi)
+        st = state._replace(phi=phi, key=key)
+        return self.refresh_from_field(st), accept, in_cluster.sum()
+
     def global_moves(self, state: SDWState) -> SDWState:
         """Configured global updates; the driver fires this every
         globalUpdateInterval sweeps (reference semantics) via per-block
@@ -1059,11 +1174,14 @@ class SDWModel:
             state, _ = self.attempt_global_shift(state)
         if self.cfg.wolffClusterUpdate:
             state, _, _ = self.attempt_wolff_update(state)
+        if self.cfg.wolffClusterShiftUpdate:
+            state, _, _ = self.attempt_wolff_shift_update(state)
         return state
 
     @property
     def has_global_moves(self) -> bool:
-        return self.cfg.globalShift or self.cfg.wolffClusterUpdate
+        return (self.cfg.globalShift or self.cfg.wolffClusterUpdate
+                or self.cfg.wolffClusterShiftUpdate)
 
     def _chain_logdet(self, phi):
         """log|det(1 + B_m...B_1)| via the factored chain."""
