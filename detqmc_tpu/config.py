@@ -94,6 +94,7 @@ _DRIVER_KEYS = {
     "rngSeed": int,
     "blockMeas": int,
     "meshDevices": int,
+    "timedisplaced": _to_bool,
 }
 
 _DRIVER_FIELD = {
@@ -109,6 +110,7 @@ _DRIVER_FIELD = {
     "rngSeed": "seed",
     "blockMeas": "block_meas",
     "meshDevices": "mesh_devices",
+    "timedisplaced": "timedisplaced",
 }
 
 _HUBBARD_KEYS = {

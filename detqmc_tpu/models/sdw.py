@@ -223,6 +223,18 @@ class SDWObservables(NamedTuple):
     exchangeAction: jax.Array
     phase: jax.Array            # Re of the tracked det phase
     acceptance: jax.Array
+    # ---- vector observables (the reference's scientific payload:
+    # k-resolved structure factors, fermionic spin/charge/pairing
+    # correlators — SURVEY.md §1/§3 "SDW model" measure()) ----
+    phiCorrelation: jax.Array        # (N,) <phi_0 . phi_d>, equal-time
+    phiStructureFactor: jax.Array    # (N,) S_phi(k) over the k-grid
+    chargeCorrelation: jax.Array     # (N,) <n_0 n_d> (all 4 orbitals)
+    chargeStructureFactor: jax.Array  # (N,) FT of the connected part
+    spinZCorrelation: jax.Array      # (N,) <S^z_0 S^z_d> fermionic
+    spinZStructureFactor: jax.Array  # (N,)
+    pairingCorrelation: jax.Array    # (N,) onsite s-wave <Delta†_0 Delta_d>
+    occupancyX: jax.Array            # filling of the x band (both spins)
+    occupancyY: jax.Array
 
 
 def _pauli_stack(opdim: int) -> np.ndarray:
@@ -236,7 +248,10 @@ class SDWModel:
     """Factory binding static config + device constants to jitted kernels
     (structure mirrors HubbardModel)."""
 
-    vector_observables = ()
+    vector_observables = ("phiCorrelation", "phiStructureFactor",
+                          "chargeCorrelation", "chargeStructureFactor",
+                          "spinZCorrelation", "spinZStructureFactor",
+                          "pairingCorrelation", "greenKTauVector")
 
     def __init__(self, cfg: SDWConfig):
         self.cfg = cfg
@@ -319,6 +334,18 @@ class SDWModel:
         self.paulis_im = jnp.asarray(
             np.imag(_pauli_stack(cfg.opdim)), cfg.jdtype)
         self.nb = jnp.asarray(self.lat.neighbors(), jnp.int32)  # (N, 4)
+        # displacement table + cos-Fourier matrix for translation-averaged
+        # correlations and k-resolved structure factors (correlations are
+        # inversion-symmetric on the torus, so the sine part vanishes)
+        s_ = np.arange(N)
+        xs, ys = self.lat.xy(s_)
+        self.disp_idx = jnp.asarray(
+            self.lat.site(xs[None, :] + xs[:, None],
+                          ys[None, :] + ys[:, None]), jnp.int32)
+        kg = self.lat.k_grid()                              # (N, 2)
+        rg = np.stack([xs, ys], axis=1)
+        self.four_cos = jnp.asarray(np.cos(kg @ rg.T), cfg.jdtype)
+        self.four_sin = jnp.asarray(np.sin(kg @ rg.T), cfg.jdtype)
         if cfg.checkerboard:
             # per-orbital group coefficients: groups (0, 1) are horizontal
             # bonds (amplitude t_hor of that orbital's band), (2, 3)
@@ -870,6 +897,127 @@ class SDWModel:
                                     self.b_mult_right(G, blocks))
 
     # ---- measurement -----------------------------------------------------------
+    def _phys_green_parts(self, G):
+        """(re, im) parts of the PHYSICAL 4-orbital Green <c c†> blocks:
+        (4, 4, N, N) in the basis (x_up, x_dn, y_up, y_dn).
+
+        Representation-independent: the reduced model carries sector
+        A = (x_up, y_dn) with sector B = conj(A) on (x_dn, y_up) and zero
+        cross-sector blocks; the TPU real embedding supplies (Re, Im)
+        quadrants directly (the backend has no complex arrays)."""
+        cfg = self.cfg
+        N = cfg.n_sites
+        nb_ = self.n_orb_base
+        if self.embed:
+            h = self.dim // 2
+            gre, gim = G[:h, :h], G[h:, :h]
+        elif jnp.issubdtype(G.dtype, jnp.complexfloating):
+            gre, gim = jnp.real(G).astype(cfg.jdtype), \
+                jnp.imag(G).astype(cfg.jdtype)
+        else:
+            gre, gim = G, jnp.zeros_like(G)
+        g_re = gre.reshape(nb_, N, nb_, N).transpose(0, 2, 1, 3)
+        g_im = gim.reshape(nb_, N, nb_, N).transpose(0, 2, 1, 3)
+        if not self.reduced:
+            return g_re, g_im
+        z = jnp.zeros((N, N), cfg.jdtype)
+        # model sector-A orbitals: 0 = x_up, 1 = y_dn; physical order
+        # (x_up, x_dn, y_up, y_dn); B entries are conjugates of A's
+        a, b = g_re, g_im
+
+        def row(entries):
+            return [e if e is not None else z for e in entries]
+
+        re_rows = [row([a[0, 0], None, None, a[0, 1]]),
+                   row([None, a[0, 0], a[0, 1], None]),
+                   row([None, a[1, 0], a[1, 1], None]),
+                   row([a[1, 0], None, None, a[1, 1]])]
+        im_rows = [row([b[0, 0], None, None, b[0, 1]]),
+                   row([None, -b[0, 0], -b[0, 1], None]),
+                   row([None, -b[1, 0], -b[1, 1], None]),
+                   row([b[1, 0], None, None, b[1, 1]])]
+        re4 = jnp.stack([jnp.stack(r_) for r_ in re_rows])
+        im4 = jnp.stack([jnp.stack(r_) for r_ in im_rows])
+        return re4, im4
+
+    def _translation_average(self, X):
+        """(N, N) matrix -> (N,) c(d) = mean_i X[i, i + d]."""
+        rows = jnp.arange(self.cfg.n_sites)[None, :]
+        return X[rows, self.disp_idx].mean(axis=1)
+
+    def _fermion_correlations(self, G):
+        """Equal-time Wick-contracted correlators from the 4-orbital
+        blocks (reference: DetSDW::measure's fermionic observable set).
+        Returns a dict of (N,) vectors + per-band occupancies."""
+        cfg = self.cfg
+        N = cfg.n_sites
+        re, im = self._phys_green_parts(G)                  # (4,4,N,N)
+        eyeN = jnp.eye(N, dtype=cfg.jdtype)
+        d4 = jnp.eye(4, dtype=cfg.jdtype)
+        # A[o,o',i,j] = <c†_{o,i} c_{o',j}> = δ δ − G[o',o]_{ji}
+        A_re = d4[:, :, None, None] * eyeN \
+            - jnp.transpose(re, (1, 0, 3, 2))
+        A_im = -jnp.transpose(im, (1, 0, 3, 2))
+        n_oi = jnp.diagonal(A_re, axis1=-2, axis2=-1)       # (4, 4, N) diag
+        n_oi = jnp.stack([n_oi[o, o] for o in range(4)])    # (4, N)
+        n_i = n_oi.sum(axis=0)                              # (N,)
+        # exchange term Re<c† c><c c†> summed over orbital pairs
+        exch = lambda w: jnp.einsum(                        # noqa: E731
+            "o,p,opij->ij", w, w,
+            A_re * re - A_im * im, precision="highest")
+        ones4 = jnp.ones((4,), cfg.jdtype)
+        wz = jnp.asarray([0.5, -0.5, 0.5, -0.5], cfg.jdtype)
+        nn = n_i[:, None] * n_i[None, :] + exch(ones4)
+        sz_i = jnp.einsum("o,on->n", wz, n_oi)
+        szsz = sz_i[:, None] * sz_i[None, :] + exch(wz)
+        # onsite s-wave pairing Delta_i = sum_b c_{b dn, i} c_{b up, i}:
+        # P = sum_{b,b'} [<c†_up c_up><c†_dn c_dn> - <c†_up c_dn><c†_dn
+        # c_up>]; the direct term survives only band-diagonally (inter-
+        # band same-spin pairs cross the decoupled sectors), while the
+        # exchange term survives for the two cross-band pairs that stay
+        # inside one sector ((x_up, y_dn) in A, (x_dn, y_up) in B)
+        pair = jnp.zeros((N, N), cfg.jdtype)
+        for up, dn in ((0, 1), (2, 3)):
+            pair = pair + (A_re[up, up] * A_re[dn, dn]
+                           - A_im[up, up] * A_im[dn, dn])
+        for (a1, a2), (b1, b2) in (((0, 3), (1, 2)), ((2, 1), (3, 0))):
+            pair = pair - (A_re[a1, a2] * A_re[b1, b2]
+                           - A_im[a1, a2] * A_im[b1, b2])
+        c_nn = self._translation_average(nn)
+        c_zz = self._translation_average(szsz)
+        c_pair = self._translation_average(pair)
+        # structure factors: FT of the connected (exchange) parts
+        conn_nn = self._translation_average(exch(ones4))
+        conn_zz = self._translation_average(exch(wz))
+        return {
+            "chargeCorrelation": c_nn,
+            "chargeStructureFactor": mm(self.four_cos,
+                                        conn_nn[:, None])[:, 0],
+            "spinZCorrelation": c_zz,
+            "spinZStructureFactor": mm(self.four_cos,
+                                       conn_zz[:, None])[:, 0],
+            "pairingCorrelation": c_pair,
+            "occupancyX": n_oi[0].mean() + n_oi[1].mean(),
+            "occupancyY": n_oi[2].mean() + n_oi[3].mean(),
+        }
+
+    def _phi_correlations(self, phi):
+        """Equal-time order-parameter observables, tau-averaged:
+        S_phi(k) = (1/(mN)) sum_l |phi~_l(k)|^2 (summed over components)
+        and its exact inverse FT c(d) = <phi_0 . phi_d>. Real cos/sin
+        parts only (no complex arrays on TPU)."""
+        cfg = self.cfg
+        N = cfg.n_sites
+        ph = phi.astype(cfg.jdtype)                        # (m, N, opdim)
+        C = jnp.einsum("kn,lno->lko", self.four_cos, ph,
+                       precision="highest")
+        S = jnp.einsum("kn,lno->lko", self.four_sin, ph,
+                       precision="highest")
+        sk = (C ** 2 + S ** 2).sum(-1).mean(0) / N         # (N,)
+        cd = jnp.einsum("kd,k->d", self.four_cos, sk,
+                        precision="highest") / N
+        return cd, sk
+
     def measure(self, G, phi, phase, acc_rate) -> SDWObservables:
         cfg = self.cfg
         N = cfg.n_sites
@@ -887,6 +1035,8 @@ class SDWModel:
         e_kin = -sector * jnp.real(sum(
             jnp.sum(self.K_orb[o].T * Gorb[o, :, o, :])
             for o in range(self.n_orb))) / (tr_fac * N)
+        phicorr, phisf = self._phi_correlations(phi)
+        ferm = self._fermion_correlations(G)
         return SDWObservables(
             phiSquared=phi2.mean(),
             phiFourth=(phi2 ** 2).mean(),
@@ -898,6 +1048,9 @@ class SDWModel:
             exchangeAction=0.5 * cfg.dtau * jnp.sum(phi ** 2),
             phase=jnp.real(phase),
             acceptance=acc_rate,
+            phiCorrelation=phicorr,
+            phiStructureFactor=phisf,
+            **ferm,
         )
 
     # ---- sweeps (same stack choreography as Hubbard) --------------------------
@@ -1241,6 +1394,70 @@ class SDWModel:
         newV = jnp.concatenate([jnp.flip(emitted.V, axis=0),
                                 eye_f.V[None]], axis=0)
         return UDV(newU, newd, newV)
+
+    def _build_left_stack(self, phi):
+        """Straight stack entries k = 0..K: B_{ks}..B_1 (identity at 0) —
+        the forward-propagator half for time-displaced Greens."""
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        eye_f = self._eye_mixed()
+        sdt = self.stab_dtype_eff
+
+        def build_interval(f_carry, k):
+            def absorb(lazy_U, l_rel):
+                l = (k - 1) * s_int + 1 + l_rel
+                blocks = self.exp_v_blocks(phi[l - 1])
+                return self.b_mult_left(blocks, lazy_U), None
+
+            lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(self.cdtype),
+                                     jnp.arange(s_int))
+            f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
+                                 compose_dtype=sdt)
+            return f_new, f_new
+
+        _, emitted = jax.lax.scan(build_interval, eye_f,
+                                  jnp.arange(1, K + 1))
+        U = jnp.concatenate([eye_f.U[None].astype(emitted.U.dtype),
+                             emitted.U])
+        d = jnp.concatenate([eye_f.d[None], emitted.d])
+        V = jnp.concatenate([eye_f.V[None], emitted.V])
+        return UDV(U, d, V)
+
+    def time_displaced_greens(self, phi) -> jax.Array:
+        """Stable G(tau = k s dtau, 0) for k = 0..K: (K+1, dim, dim)
+        (reference: the SDW model's unequal-time Green support; tau on the
+        stabilization grid, same approach as hubbard.time_displaced_greens
+        — both half-chain stacks built fresh, one batched stable solve)."""
+        from detqmc_tpu.linalg.udv import green_tau_zero
+
+        left = self._build_left_stack(phi)
+        right_t = self._build_right_stack(phi)
+        return green_tau_zero(left, right_t,
+                              compute_dtype=self.stab_dtype_eff)
+
+    def measure_time_displaced(self, state: SDWState) -> jax.Array:
+        """Momentum-diagonal G(k, tau) on the stabilization grid,
+        averaged over the 4 physical orbitals: (K+1, N) real."""
+        G_tau = self.time_displaced_greens(state.phi)
+        Fc, Fs = self.four_cos, self.four_sin
+
+        def project(G):
+            re, im = self._phys_green_parts(G)          # (4,4,N,N)
+            g = jnp.zeros((self.cfg.n_sites,), self.cfg.jdtype)
+            for o in range(4):
+                gr, gi = re[o, o], im[o, o]
+                # Re (F G F^H)_kk with F = exp(-i k r): cos/sin split
+                g = g + jnp.einsum("ki,ij,kj->k", Fc, gr, Fc,
+                                   precision="highest")
+                g = g + jnp.einsum("ki,ij,kj->k", Fs, gr, Fs,
+                                   precision="highest")
+                g = g + jnp.einsum("ki,ij,kj->k", Fs, gi, Fc,
+                                   precision="highest")
+                g = g - jnp.einsum("ki,ij,kj->k", Fc, gi, Fs,
+                                   precision="highest")
+            return g / (4.0 * self.cfg.n_sites)
+
+        return jax.vmap(project)(G_tau)
 
     def refresh_from_field(self, state: SDWState) -> SDWState:
         cfg = self.cfg

@@ -83,3 +83,50 @@ def test_ph_mode_time_displaced_matches_two_sector():
     # both sectors present: the raw greens stack to (K+1, 2, N, N)
     G = np.asarray(mp.time_displaced_greens(sp.field))
     assert G.shape[1] == 2
+
+
+def test_sdw_time_displaced_free_fermion_limit():
+    """lam = 0 decouples the fermions: B_l = expK exactly, so
+    G(k, tau) = e^{-tau(eps-mu)} / (1 + e^{-beta(eps-mu)}) per band."""
+    import jax
+
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    cfg = SDWConfig(L=4, opdim=2, lam=0.0, mu=-0.5, beta=2.0, m=16, s=4,
+                    dtype="float64")
+    model = SDWModel(cfg)
+    state = model.init_state(jax.random.key(2))
+    gk = np.asarray(model.measure_time_displaced(state))   # (K+1, N)
+
+    k = model.lat.k_grid()                                  # (N, 2)
+    eps_x = -2 * cfg.txhor * np.cos(k[:, 0]) - 2 * cfg.txver * np.cos(k[:, 1])
+    eps_y = -2 * cfg.tyhor * np.cos(k[:, 0]) - 2 * cfg.tyver * np.cos(k[:, 1])
+    for ki, tau_idx in ((0, 0), (3, 1), (7, 2), (11, 4)):
+        tau = tau_idx * cfg.s * cfg.dtau
+        expect = 0.0
+        for eps in (eps_x[ki], eps_y[ki]):
+            e = eps - cfg.mu
+            expect += np.exp(-tau * e) / (1.0 + np.exp(-cfg.beta * e))
+        expect /= 2.0
+        assert gk[tau_idx, ki] == pytest.approx(expect, abs=1e-9), \
+            f"k={ki} tau_idx={tau_idx}"
+
+
+def test_sdw_time_displaced_cross_representation():
+    """Reduced and full representations give the same G(k, tau) for the
+    same field (interacting case)."""
+    import jax
+
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    kw = dict(L=2, opdim=2, beta=2.0, m=8, s=2, dtype="float64")
+    full = SDWModel(SDWConfig(**kw, fermion_matrix="full"))
+    red = SDWModel(SDWConfig(**kw, fermion_matrix="reduced"))
+    sf = full.init_state(jax.random.key(7))
+    sr = red.init_state(jax.random.key(7))
+    gf = np.asarray(full.measure_time_displaced(sf))
+    gr = np.asarray(red.measure_time_displaced(sr))
+    np.testing.assert_allclose(gr, gf, atol=1e-9)
+    # tau = 0 consistency with the equal-time G
+    re, im = red._phys_green_parts(sr.G)
+    assert gf.shape == (kw["m"] // kw["s"] + 1, 4)
