@@ -198,19 +198,9 @@ class HubbardModel:
     def __init__(self, cfg: HubbardConfig):
         self.cfg = cfg
         self.lat = lattice_mod.SquareLattice(cfg.L)
-        if (cfg.stab_jdtype == jnp.dtype("float64")
-                and not jax.config.jax_enable_x64):
-            # the stabilization precision island needs real f64 arrays;
-            # all other state carries explicit f32 dtypes so this does not
-            # change the hot path
-            jax.config.update("jax_enable_x64", True)
-        if jax.config.jax_default_matmul_precision is None:
-            # jnp.linalg.qr's internal matmuls honor the global default,
-            # which is bf16 on TPU — catastrophic for stabilization QRs
-            # (reconstruction error 1.6e-2 vs 2.7e-6 at 64x64 f32). Our own
-            # contractions pass HIGHEST explicitly; this covers library
-            # internals.
-            jax.config.update("jax_default_matmul_precision", "highest")
+        from detqmc_tpu.precision import ensure_runtime
+
+        ensure_runtime(need_x64=cfg.stab_jdtype == jnp.dtype("float64"))
         dt = cfg.jdtype
         self.prop = bchain.make_propagators(
             self.lat, cfg.t, cfg.dtau, cfg.mu, dtype=dt,

@@ -256,12 +256,11 @@ class SDWModel:
     def __init__(self, cfg: SDWConfig):
         self.cfg = cfg
         self.lat = lattice_mod.SquareLattice(cfg.L)
-        if (jnp.dtype(cfg.stab_jdtype).kind in "cf"
-                and jnp.dtype(cfg.stab_jdtype).itemsize >= 8
-                and not jax.config.jax_enable_x64):
-            jax.config.update("jax_enable_x64", True)
-        if jax.config.jax_default_matmul_precision is None:
-            jax.config.update("jax_default_matmul_precision", "highest")
+        from detqmc_tpu.precision import ensure_runtime
+
+        ensure_runtime(need_x64=(jnp.dtype(cfg.stab_jdtype).kind in "cf"
+                                 and jnp.dtype(cfg.stab_jdtype).itemsize
+                                 >= 8))
         if cfg.fermion_repr == "auto":
             self.embed = (cfg.opdim >= 2
                           and jax.default_backend() == "tpu")
