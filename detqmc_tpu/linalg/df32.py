@@ -99,6 +99,18 @@ def mul_f32(a: DF, b) -> DF:
     return quick_two_sum(p, e)
 
 
+def mask(a: DF, m) -> DF:
+    """a * m for a boolean mask m: exact and cheap (select, no TwoProd)."""
+    zero = jnp.zeros((), a[0].dtype)
+    return jnp.where(m, a[0], zero), jnp.where(m, a[1], zero)
+
+
+def scale_signed(a: DF, s) -> DF:
+    """a * s for s in {-1, 0, +1} (or any power of two): the products are
+    exact, so no TwoProd/renormalization is needed."""
+    return a[0] * s, a[1] * s
+
+
 def recip(a: DF) -> DF:
     """1 / a via one Newton step from the f32 estimate."""
     x0 = 1.0 / a[0]
@@ -143,6 +155,25 @@ def reduce_last(a: DF, n: int) -> DF:
                                  + [(0, half - 1)]),
                         jnp.pad(tail[1], [(0, 0)] * (tail[1].ndim - 1)
                                 + [(0, half - 1)])))
+        h, l = s
+        length = half
+    return h, l
+
+
+def reduce_axis0(a: DF, n: int) -> DF:
+    """Accurate sum over axis 0 (length n). Returns shape (1, ...)."""
+    h, l = a
+    length = n
+    while length > 1:
+        half = length // 2
+        even = (h[:half], l[:half])
+        odd = (h[half:2 * half], l[half:2 * half])
+        s = add(even, odd)
+        if length % 2 == 1:
+            tail_h = h[2 * half:length]
+            tail_l = l[2 * half:length]
+            pad = [(0, half - 1)] + [(0, 0)] * (tail_h.ndim - 1)
+            s = add(s, (jnp.pad(tail_h, pad), jnp.pad(tail_l, pad)))
         h, l = s
         length = half
     return h, l

@@ -221,9 +221,24 @@ def _make_solve_inner(interpret: bool):
 def solve_inner(inner_hi, inner_lo, r1, *, interpret: bool = False):
     """mid = inner^{-1} diag(r1) computed stably: (..., n, n) f32 pairs in,
     f32 out. Relative per-mode accuracy ~2^-48 of the df32 inputs.
-    vmap-safe: batch axes flatten into the kernel grid."""
+    vmap-safe: batch axes flatten into the kernel grid.
+
+    Dispatch: small matrices (n <= 64) go to the lane-batched layout
+    (pallas_green_lanes — walkers in the 128-lane axis: no lane padding,
+    fine-grained triangular work restriction); larger ones stay on this
+    module's column-lane kernel, which has no padding waste at n >= 128.
+    """
     lead = inner_hi.shape[:-2]
     n = inner_hi.shape[-1]
+    if n % 8 == 0 and n <= 64:
+        from detqmc_tpu.linalg.pallas_green_lanes import (
+            MAX_N, solve_inner_lanes)
+
+        if n <= MAX_N:
+            out = solve_inner_lanes(
+                inner_hi.reshape(-1, n, n), inner_lo.reshape(-1, n, n),
+                r1.reshape(-1, n), interpret=interpret)
+            return out.reshape(*lead, n, n)
     out = _make_solve_inner(interpret)(
         inner_hi.reshape(-1, n, n), inner_lo.reshape(-1, n, n),
         r1.reshape(-1, n))

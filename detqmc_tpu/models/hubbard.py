@@ -74,8 +74,10 @@ class HubbardConfig:
     # only ONE spin sector is simulated — halving every matrix operation.
     # "auto": on iff mu == 0; "on"/"off" force.
     ph_symmetry: str = "auto"
-    # "auto": fused Pallas slice kernel on TPU (f32), lax.scan elsewhere;
-    # "scan" / "pallas" force a path (pallas requires float32)
+    # "auto": the lax.scan site loop everywhere (XLA's fusion of the
+    # rank-1 SM update now beats the fused Pallas slice kernel by ~10% at
+    # the headline config — measured round 2; the kernel remains available
+    # via "pallas", which requires float32)
     update_kernel: str = "auto"
     # "auto": df32 Pallas stabilization kernel on TPU when the f64 island
     # is active (XLA's emulated-f64 QR has ~90ms latency); "xla" forces
@@ -221,11 +223,12 @@ class HubbardModel:
             jnp.int32)
         # (-1)^(x+y) staggering for the AF structure factor
         self.stagger = jnp.asarray((-1.0) ** (x + y), dt)
-        # fused Pallas Metropolis kernel: TPU + f32 only (Mosaic has no
-        # 64-bit lowering); CPU uses the identical-semantics lax.scan path
+        # site-update path: "auto" = lax.scan (measured faster than the
+        # fused Pallas Metropolis kernel since the lanes green kernel
+        # landed); "pallas" keeps the kernel available (TPU + f32 only —
+        # Mosaic has no 64-bit lowering; interpret mode off-TPU)
         if cfg.update_kernel == "auto":
-            self._use_pallas = (jax.default_backend() == "tpu"
-                                and dt == jnp.dtype("float32"))
+            self._use_pallas = False
             self._pallas_interpret = False
         elif cfg.update_kernel == "pallas":
             if dt != jnp.dtype("float32"):
@@ -584,6 +587,65 @@ class HubbardModel:
         state, obs2 = self._sweep(state, up=False, measure=measure)
         obs = jax.tree.map(lambda a, b: 0.5 * (a + b), obs1, obs2)
         return state, obs
+
+    # -- naive cross-check sweep --------------------------------------------
+    def green_at_slice(self, field: jax.Array, l: int) -> jax.Array:
+        """Stabilized G(l) rebuilt from the field alone, refactoring at
+        EVERY slice (s_eff = 1) — the naive recompute primitive behind
+        sweep_simple (reference: DetModelGC::sweepSimple /
+        greenFromEye_and_UdV, SURVEY.md §5 item 2). ``l`` is a static int
+        in 0..m."""
+        cfg = self.cfg
+        sdt = cfg.stab_jdtype
+        cb = cfg.checkerboard
+        left = self._eye_mixed()
+        for j in range(1, l + 1):
+            M = bchain.b_mult_left(self.prop, self.exp_v(field[j - 1]),
+                                   left.U, checkerboard=cb)
+            left = udv_refactor(M, left.d, left.V, compose_dtype=sdt)
+        right = self._eye_mixed()
+        for j in range(cfg.m, l, -1):
+            M = bchain.bT_mult_left(self.prop, self.exp_v(field[j - 1]),
+                                    right.U, checkerboard=cb)
+            right = udv_refactor(M, right.d, right.V, compose_dtype=sdt)
+        return self._green(left, right)
+
+    def sweep_simple(self, state: WalkerState, measure: bool = False):
+        """Intentionally naive up sweep: G(l) is recomputed from scratch at
+        every slice, then the exact same per-site updates run on the same
+        RNG stream as the stabilized sweep_up — so both paths walk the SAME
+        Markov chain and any disagreement indicts the wrap/stack machinery
+        (reference: DetModelGC::sweepSimple vs sweep, SURVEY.md §5 item 2).
+        O(m^2) refactors: a correctness cross-check, not a production path.
+        """
+        cfg = self.cfg
+        dt = cfg.jdtype
+        field, sign = state.field, state.sign
+        key, sweep_key = jax.random.split(state.key)
+        u01 = jax.random.uniform(sweep_key, (cfg.m, cfg.n_sites), dtype=dt)
+        acc_sum = jnp.zeros((), dt)
+        obs_sum = jax.tree.map(
+            lambda a: jnp.zeros_like(a),
+            self.measure_equal_time(state.G, jnp.zeros((), dt)))
+        for l in range(1, cfg.m + 1):
+            G = self.green_at_slice(field, l)       # fresh, pre-update
+            G, fl_new, sign, acc = self.update_slice(
+                G, field[l - 1], u01[l - 1], sign)
+            field = field.at[l - 1].set(fl_new)
+            acc_sum = acc_sum + acc
+            if measure and l % cfg.s == 0:
+                obs = self.measure_equal_time(G, jnp.zeros((), dt), sign)
+                obs_sum = jax.tree.map(jnp.add, obs_sum, obs)
+        refreshed = self.refresh_from_field(
+            state._replace(field=field, key=key))
+        new_state = refreshed._replace(
+            sign=sign,  # ratio-tracked sign wins (cf. driver resume)
+            sweeps_done=state.sweeps_done + 1)
+        obs_mean = jax.tree.map(
+            lambda a: a / jnp.asarray(cfg.n_stack, dt), obs_sum)
+        obs_mean = obs_mean._replace(
+            acceptance=acc_sum / jnp.asarray(cfg.m, dt))
+        return new_state, obs_mean
 
     # -- time-displaced Green functions ------------------------------------
     def time_displaced_greens(self, field: jax.Array) -> jax.Array:

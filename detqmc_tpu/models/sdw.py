@@ -1167,6 +1167,60 @@ class SDWModel:
         obs = obs._replace(exchangeAction=o2.exchangeAction)
         return state, obs
 
+    # ---- naive cross-check sweep ---------------------------------------------
+    def green_at_slice(self, phi: jax.Array, l: int) -> jax.Array:
+        """Stabilized G(l) rebuilt from the field alone with a refactor at
+        EVERY slice — the naive recompute primitive behind sweep_simple
+        (reference: DetModelGC::sweepSimple, SURVEY.md §5 item 2). ``l``
+        is a static int in 0..m."""
+        cfg = self.cfg
+        sdt = self.stab_dtype_eff
+        left = self._eye_mixed()
+        for j in range(1, l + 1):
+            M = self.b_mult_left(self.exp_v_blocks(phi[j - 1]),
+                                 left.U.astype(self.cdtype))
+            left = udv_refactor(M, left.d, left.V, compose_dtype=sdt)
+        right = self._eye_mixed()
+        for j in range(cfg.m, l, -1):
+            M = self.bT_mult_left(self.exp_v_blocks(phi[j - 1]),
+                                  right.U.astype(self.cdtype))
+            right = udv_refactor(M, right.d, right.V, compose_dtype=sdt)
+        return self._green(left, right)
+
+    def sweep_simple(self, state: SDWState, measure: bool = False):
+        """Naive up sweep: from-scratch stabilized G at every slice + the
+        same per-site updates on the same RNG stream as sweep_up, so both
+        paths walk the SAME Markov chain and any disagreement indicts the
+        wrap/stack machinery (reference: sweepSimple vs sweep, SURVEY.md
+        §5 item 2). O(m^2) refactors — cross-check only."""
+        cfg = self.cfg
+        dt = cfg.jdtype
+        phi, key, phase = state.phi, state.key, state.phase
+        box_w = state.box_width
+        acc_sum = jnp.zeros((), dt)
+        obs_sum = jax.tree.map(
+            lambda a: jnp.zeros_like(a),
+            self.measure(state.G, phi, phase, jnp.zeros((), dt)))
+        for l in range(1, cfg.m + 1):
+            G = self.green_at_slice(phi, l)         # fresh, pre-update
+            G, phi, key, phase, acc = self.update_slice(
+                G, phi, l, key, phase, box_w, state.r,
+                alt=state.sweeps_done % 2)
+            acc_sum = acc_sum + acc
+            if measure and l % cfg.s == 0:
+                obs = self.measure(G, phi, phase, jnp.zeros((), dt))
+                obs_sum = jax.tree.map(jnp.add, obs_sum, obs)
+        refreshed = self.refresh_from_field(
+            state._replace(phi=phi, key=key))
+        new_state = refreshed._replace(
+            phase=phase, sweeps_done=state.sweeps_done + 1)
+        obs_mean = jax.tree.map(
+            lambda a: a / jnp.asarray(cfg.n_stack, dt), obs_sum)
+        obs_mean = obs_mean._replace(
+            acceptance=acc_sum / jnp.asarray(cfg.m, dt),
+            exchangeAction=0.5 * cfg.dtau * jnp.sum(phi ** 2))
+        return new_state, obs_mean
+
     # ---- global moves ----------------------------------------------------------
     def attempt_global_shift(self, state: SDWState):
         """phi -> phi + delta everywhere; Metropolis with full stabilized

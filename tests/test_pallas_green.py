@@ -47,6 +47,33 @@ def test_solve_inner_ill_conditioned_graded():
     assert rel.max() < 1e-4, rel.max()
 
 
+def test_lanes_kernel_matches_column_kernel():
+    """The lane-batched layout (n <= 64 dispatch) must agree with the
+    column-lane kernel bit-for-bit-ish (same algorithm, same arithmetic,
+    different data layout) — checked at the headline n = 64 including the
+    batch-padding path (Bt not a multiple of 128)."""
+    from detqmc_tpu.linalg.pallas_green import _make_solve_inner
+    from detqmc_tpu.linalg.pallas_green_lanes import solve_inner_lanes
+
+    n, Bt = 64, 5
+    keys = jax.random.split(jax.random.key(9), Bt)
+    inners = jnp.stack([_make_graded(k, n, 10.0) for k in keys])
+    r1 = jnp.exp(jnp.linspace(0.0, -6.0, n))[None, :].repeat(Bt, 0)
+    hi, lo = df32.from_f64(inners)
+    r1f = r1.astype(jnp.float32)
+    got = solve_inner_lanes(hi, lo, r1f, interpret=True)
+    ref = _make_solve_inner(True)(hi, lo, r1f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-7)
+    # and against the f64 truth
+    for b in range(Bt):
+        expected = np.linalg.solve(np.asarray(inners[b]),
+                                   np.diag(np.asarray(r1[b])))
+        col_scale = np.maximum(np.abs(expected).max(axis=0), 1e-300)
+        rel = np.abs(np.asarray(got[b], np.float64) - expected) / col_scale
+        assert rel.max() < 1e-4, rel.max()
+
+
 def test_solve_inner_batched():
     n = 8
     keys = jax.random.split(jax.random.key(3), 6)
