@@ -34,24 +34,46 @@ def _logsumexp(x, axis=None):
 
 @dataclasses.dataclass
 class MultireweightPT:
-    """Ferrenberg-Swendsen solver (reference: MultireweightHistosPT)."""
+    """Ferrenberg-Swendsen solver (reference: MultireweightHistosPT).
+
+    The iteration and the weight evaluation run in the native OpenMP core
+    (native/mrpt via analysis/_native — the reference's mrpt is OpenMP
+    C++, SURVEY.md §3 "mrpt family") when a compiler/prebuilt library is
+    available; the NumPy path below is the always-available fallback and
+    the cross-check oracle (tests assert they agree).
+    """
 
     r_values: np.ndarray                 # (R,)
     actions: List[np.ndarray]            # per-parameter a-series
     observables: Dict[str, List[np.ndarray]]  # name -> per-parameter series
+    use_native: str = "auto"             # "auto" | "never"
 
     def __post_init__(self):
         self.r_values = np.asarray(self.r_values, np.float64)
         self.n_k = np.array([len(a) for a in self.actions])
-        self.a_all = np.concatenate(self.actions)
+        self.a_all = np.ascontiguousarray(
+            np.concatenate(self.actions), np.float64)
         self.f = np.zeros(len(self.r_values))
         self._solved = False
+
+    def _native(self):
+        if self.use_native == "never":
+            return None
+        from detqmc_tpu.analysis import _native
+        return _native
 
     def solve(self, tol: float = 1e-10, max_iter: int = 10000) -> None:
         """Self-consistent free energies (log-domain iteration)."""
         r = self.r_values
         a = self.a_all                                    # (S,)
         log_n = np.log(self.n_k)
+        nat = self._native()
+        if nat is not None:
+            iters = nat.fs_solve(a, r, log_n.astype(np.float64), self.f,
+                                 tol, max_iter)
+            if iters is not None:
+                self._solved = True
+                return
         f = self.f
         for _ in range(max_iter):
             # log denominator per sample: logsumexp_j [log n_j + f_j - r_j a_s]
@@ -70,6 +92,13 @@ class MultireweightPT:
     # -- reweighted expectations ------------------------------------------------
     def _log_weights(self, r_target: float) -> np.ndarray:
         assert self._solved, "call solve() first"
+        nat = self._native()
+        if nat is not None:
+            lw = nat.fs_log_weights(self.a_all, self.r_values,
+                                    np.log(self.n_k).astype(np.float64),
+                                    self.f, r_target)
+            if lw is not None:
+                return lw
         z = (np.log(self.n_k)[None, :] + self.f[None, :]
              - np.outer(self.a_all, self.r_values))
         log_den = _logsumexp(z, axis=1)
@@ -83,6 +112,14 @@ class MultireweightPT:
         return float(np.sum(w * o) / np.sum(w))
 
     def curve(self, name: str, r_grid: Sequence[float]) -> np.ndarray:
+        nat = self._native()
+        if nat is not None and self._solved:
+            o = np.concatenate(self.observables[name])[None, :]
+            out = nat.fs_curve(self.a_all, self.r_values,
+                               np.log(self.n_k).astype(np.float64),
+                               self.f, np.asarray(r_grid, np.float64), o)
+            if out is not None:
+                return out[:, 0]
         return np.array([self.expectation(name, r) for r in r_grid])
 
     def binder(self, r_target: float, phi2="phiSquared",

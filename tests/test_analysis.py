@@ -107,6 +107,37 @@ def test_mrpt_reweighting_exact_toy():
     np.testing.assert_allclose(m.f, expected_f, atol=0.02)
 
 
+def test_mrpt_native_core_matches_numpy():
+    """The OpenMP C++ FS core (native/mrpt, loaded via ctypes) must agree
+    with the pure-NumPy fallback on free energies, log weights and curves
+    (skipped when no compiler/prebuilt library exists)."""
+    from detqmc_tpu.analysis import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native mrpt core unavailable (no g++?)")
+    rng = np.random.default_rng(7)
+    A = 3.0
+    r_values = [0.5, 1.0, 2.0]
+    actions = [_sample_exp(rng, r, A, 5000) for r in r_values]
+    obs = {"a": [a.copy() for a in actions]}
+    m_nat = MultireweightPT(np.asarray(r_values),
+                            [a.copy() for a in actions],
+                            {k: [s.copy() for s in v]
+                             for k, v in obs.items()})
+    m_np = MultireweightPT(np.asarray(r_values),
+                           [a.copy() for a in actions],
+                           {k: [s.copy() for s in v]
+                            for k, v in obs.items()}, use_native="never")
+    m_nat.solve()
+    m_np.solve()
+    np.testing.assert_allclose(m_nat.f, m_np.f, atol=1e-8)
+    grid = np.linspace(0.6, 1.8, 7)
+    np.testing.assert_allclose(m_nat.curve("a", grid),
+                               m_np.curve("a", grid), rtol=1e-10)
+    np.testing.assert_allclose(m_nat._log_weights(1.3),
+                               m_np._log_weights(1.3), atol=1e-9)
+
+
 def test_mrpt_jackknife_and_binder():
     rng = np.random.default_rng(2)
     A = 3.0
