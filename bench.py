@@ -39,7 +39,7 @@ N_TIMED_PAIRS = 5
 # baseline exists for it (the reference mount is empty; the local C++
 # baseline implements the Hubbard algorithm), so its sweeps/s rides along
 # as an extra key on the single JSON line.
-SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 64
+SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
 
 
 def _bench_hubbard():

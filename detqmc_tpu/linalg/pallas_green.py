@@ -51,8 +51,10 @@ def _max_tile(n: int) -> int:
     return max(1, min(MAX_TILE, VMEM_BUDGET // (10 * n * n * 4)))
 
 
-CHUNK = 128  # column-chunk width; lane slices must stay 128-aligned
-             # (Mosaic: "dynamic load with unaligned indices" otherwise)
+CHUNK = 128    # lane-slice alignment (Mosaic: "dynamic load with
+               # unaligned indices" otherwise); A-rows live in lanes here
+SUBCHUNK = 8   # column-chunk width: A-columns are sublanes, where static
+               # 8-granular slicing is legal — finer triangular restriction
 
 
 def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
@@ -70,61 +72,71 @@ def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
     ah[...] = jnp.zeros_like(ah)
     al[...] = jnp.zeros_like(al)
 
-    # The column loop is split into static chunks of width CHUNK so each
-    # chunk's updates touch only the ACTIVE trailing block: the step-j
-    # Householder vector has support on lanes >= j >= r0, so B's update is
-    # confined to rows/lanes [r0, n) and M's to rows [r0, n). The skipped
-    # regions are exactly what the former full-matrix masks zeroed —
-    # identical arithmetic at ~2-3x fewer VPU ops (triangular sum).
-    b = min(CHUNK, n)
-    for r0 in range(0, n, b):
-        sz = n - r0
-        cw = min(b, sz)
-        lane = r0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sz), 2)
-        rs = pl.ds(r0, sz)
+    # Two-level triangular work restriction. In this layout A-columns are
+    # SUBLANES (8-granular static slicing is legal) and A-rows are LANES
+    # (slices must stay 128-aligned), so the column loop runs in static
+    # chunks of SUBCHUNK = 8 columns: the step-j Householder vector has
+    # support on A-rows >= j, confining B's update to sublanes/lanes
+    # [a8, n) x [c0, n) and M's to sublanes [a8, n) — identical arithmetic
+    # to the full-matrix masked form at ~2-3x fewer VPU slots (the skipped
+    # regions are exactly what the masks zeroed).
+    b8 = min(SUBCHUNK, n)
+    for a8 in range(0, n, b8):
+        c0 = (a8 // CHUNK) * CHUNK          # lane-aligned row start
+        szc = n - a8                        # active columns (sublanes)
+        szl = n - c0                        # active rows (lanes)
+        cw = min(b8, szc)
+        lane = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, szl), 2)
+        cs = pl.ds(a8, szc)
+        ls = pl.ds(c0, szl)
 
-        def qr_step(jj, _, r0=r0, sz=sz, lane=lane, rs=rs):
-            j = jnp.int32(r0) + jj
-            onehot = (lane == j).astype(Bh_in.dtype)     # (1, 1, sz)
-            geq = (lane >= j).astype(Bh_in.dtype)
+        def qr_step(jj, _, a8=a8, szc=szc, szl=szl, lane=lane, cs=cs,
+                    ls=ls, c0=c0):
+            j = jnp.int32(a8) + jj
+            onehot = (lane == j).astype(Bh_in.dtype)     # (1, 1, szl)
+            geq = lane >= j
             # dynamic sublane load must span full lanes (Mosaic rejects
             # dynamic load + partial lane slice); slice the value instead
             x_full = (Bh[:, pl.ds(j, 1), :], Bl[:, pl.ds(j, 1), :])
-            x = (x_full[0][:, :, r0:], x_full[1][:, :, r0:])
-            xm = df32.mul_f32(x, geq)
-            norm2 = df32.reduce_last(df32.mul(xm, xm), sz)  # (T, 1, 1)
+            x = (x_full[0][:, :, c0:], x_full[1][:, :, c0:])
+            xm = df32.mask(x, geq)
+            norm2 = df32.reduce_last(df32.mul(xm, xm), szl)  # (T, 1, 1)
             norm = df32.sqrt(norm2)
-            x0 = df32.reduce_last(df32.mul_f32(xm, onehot), sz)
+            x0 = df32.reduce_last(df32.scale_signed(xm, onehot), szl)
             sgn = 2.0 * (x0[0] >= 0).astype(Bh_in.dtype) - 1.0
-            alpha = df32.mul_f32(norm, -sgn)             # (T, 1, 1)
-            v = df32.sub(xm, df32.mul_f32((alpha[0] * onehot,
-                                           alpha[1] * onehot), 1.0))
-            vtv = df32.reduce_last(df32.mul(v, v), sz)   # (T, 1, 1)
+            alpha = df32.scale_signed(norm, -sgn)        # (T, 1, 1)
+            v = df32.sub(xm, (alpha[0] * onehot, alpha[1] * onehot))
+            vtv = df32.reduce_last(df32.mul(v, v), szl)  # (T, 1, 1)
             # guard the (impossible for nonsingular input) zero column
             guard = (vtv[0] == 0).astype(Bh_in.dtype)
             vtv = (vtv[0] + guard, vtv[1])
             beta = df32.mul_f32(df32.recip(vtv), 2.0)    # (T, 1, 1)
 
-            B = (Bh[:, rs, rs], Bl[:, rs, rs])           # (T, sz, sz)
-            s_col = df32.reduce_last(df32.mul(B, v), sz)  # (T, sz, 1)
+            B = (Bh[:, cs, ls], Bl[:, cs, ls])           # (T, szc, szl)
+            s_col = df32.reduce_last(df32.mul(B, v), szl)  # (T, szc, 1)
             bs = df32.mul(s_col, beta)
             upd = df32.mul(bs, v)
             newB = df32.sub(B, upd)
-            Bh[:, rs, rs], Bl[:, rs, rs] = newB
+            Bh[:, cs, ls], Bl[:, cs, ls] = newB
 
-            v_col = (jnp.swapaxes(v[0], -1, -2),
-                     jnp.swapaxes(v[1], -1, -2))         # (T, sz, 1)
-            M = (Mh[:, rs, :], Ml[:, rs, :])             # (T, sz, n)
-            vtM = df32.reduce_axis2(df32.mul(M, v_col), sz)  # (T, 1, n)
+            # M rows = A-rows; v has support on rows >= j >= a8, so M's
+            # update restricts to sublanes [a8, n) (8-granular) — slice
+            # the transposed-v VALUE by the static offset a8 - c0
+            off = a8 - c0
+            v_col = (jnp.swapaxes(v[0], -1, -2)[:, off:, :],
+                     jnp.swapaxes(v[1], -1, -2)[:, off:, :])  # (T, szc, 1)
+            ms = pl.ds(a8, szc)
+            M = (Mh[:, ms, :], Ml[:, ms, :])             # (T, szc, n)
+            vtM = df32.reduce_axis2(df32.mul(M, v_col), szc)  # (T, 1, n)
             bv = df32.mul(v_col, beta)
             updM = df32.mul(bv, vtM)
             newM = df32.sub(M, updM)
-            Mh[:, rs, :], Ml[:, rs, :] = newM
+            Mh[:, ms, :], Ml[:, ms, :] = newM
 
             # record alpha_j
-            acc = df32.add((ah[:, :, rs], al[:, :, rs]),
+            acc = df32.add((ah[:, :, ls], al[:, :, ls]),
                            (alpha[0] * onehot, alpha[1] * onehot))
-            ah[:, :, rs], al[:, :, rs] = acc
+            ah[:, :, ls], al[:, :, ls] = acc
             return ()
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(cw), qr_step, ())
@@ -134,27 +146,34 @@ def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
     BTh[...] = jnp.swapaxes(Bh[...], -1, -2)
     BTl[...] = jnp.swapaxes(Bl[...], -1, -2)
 
-    # reverse chunk order: row j's back-substitution reads only X rows > j
-    for r0 in reversed(range(0, n, b)):
-        sz = n - r0
-        cw = min(b, sz)
-        lane = r0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sz), 2)
-        rs = pl.ds(r0, sz)
+    # reverse chunk order: row j's back-substitution reads only X rows > j,
+    # so X/R restrict to sublanes [a8, n) (8-granular; the > j mask zeroes
+    # the chunk-internal overshoot)
+    for a8 in reversed(range(0, n, b8)):
+        c0 = (a8 // CHUNK) * CHUNK
+        szc = n - a8
+        szl = n - c0
+        cw = min(b8, szc)
+        lane = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, szl), 2)
+        ls = pl.ds(c0, szl)
 
-        def solve_step(jj, _, r0=r0, sz=sz, cw=cw, lane=lane, rs=rs):
-            j = jnp.int32(r0 + cw - 1) - jj              # descend in chunk
-            onehot = (lane == j).astype(Bh_in.dtype)
-            gt = (lane > j).astype(Bh_in.dtype)
+        def solve_step(jj, _, a8=a8, szc=szc, szl=szl, cw=cw, lane=lane,
+                       ls=ls, c0=c0):
+            j = jnp.int32(a8 + cw - 1) - jj              # descend in chunk
+            onehot = lane == j
+            gt = lane > j
             Rrow_full = (BTh[:, pl.ds(j, 1), :], BTl[:, pl.ds(j, 1), :])
-            Rrow = (Rrow_full[0][:, :, r0:], Rrow_full[1][:, :, r0:])
-            Rrow = df32.mul_f32(Rrow, gt)                # strict upper
-            Rcol = (jnp.swapaxes(Rrow[0], -1, -2),
-                    jnp.swapaxes(Rrow[1], -1, -2))       # (T, sz, 1)
-            X = (Xh[:, rs, :], Xl[:, rs, :])             # (T, sz, n)
-            contrib = df32.reduce_axis2(df32.mul(X, Rcol), sz)  # (T, 1, n)
+            Rrow = (Rrow_full[0][:, :, c0:], Rrow_full[1][:, :, c0:])
+            Rrow = df32.mask(Rrow, gt)                   # strict upper
+            off = a8 - c0
+            Rcol = (jnp.swapaxes(Rrow[0], -1, -2)[:, off:, :],
+                    jnp.swapaxes(Rrow[1], -1, -2)[:, off:, :])  # (T,szc,1)
+            xs = pl.ds(a8, szc)
+            X = (Xh[:, xs, :], Xl[:, xs, :])             # (T, szc, n)
+            contrib = df32.reduce_axis2(df32.mul(X, Rcol), szc)  # (T,1,n)
             Mrow = (Mh[:, pl.ds(j, 1), :], Ml[:, pl.ds(j, 1), :])
             a_j = df32.reduce_last(
-                df32.mul_f32((ah[:, :, rs], al[:, :, rs]), onehot), sz)
+                df32.mask((ah[:, :, ls], al[:, :, ls]), onehot), szl)
             xrow = df32.mul(df32.sub(Mrow, contrib), df32.recip(a_j))
             Xh[:, pl.ds(j, 1), :] = xrow[0]
             Xl[:, pl.ds(j, 1), :] = xrow[1]
@@ -223,14 +242,15 @@ def solve_inner(inner_hi, inner_lo, r1, *, interpret: bool = False):
     f32 out. Relative per-mode accuracy ~2^-48 of the df32 inputs.
     vmap-safe: batch axes flatten into the kernel grid.
 
-    Dispatch: small matrices (n <= 64) go to the lane-batched layout
-    (pallas_green_lanes — walkers in the 128-lane axis: no lane padding,
-    fine-grained triangular work restriction); larger ones stay on this
-    module's column-lane kernel, which has no padding waste at n >= 128.
+    Dispatch: matrices up to pallas_green_lanes.MAX_N go to the
+    lane-batched layout (walkers in the 128-lane axis: no lane padding at
+    n <= 64, fine-grained triangular work restriction at any n); larger
+    ones stay on this module's column-lane kernel, whose VMEM footprint
+    scales with the tile rather than with n^2 * 128.
     """
     lead = inner_hi.shape[:-2]
     n = inner_hi.shape[-1]
-    if n % 8 == 0 and n <= 64:
+    if n % 8 == 0:
         from detqmc_tpu.linalg.pallas_green_lanes import (
             MAX_N, solve_inner_lanes)
 

@@ -44,9 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from detqmc_tpu.linalg import df32
 
-WL = 128    # lane batch: walkers per grid step
-CB = 8      # column chunk (sublane granularity for triangular restriction)
-MAX_N = 64  # ~6 (n, n, 128) f32 VMEM buffers must stay under ~16 MB
+WL = 128     # lane batch: walkers per grid step
+CB = 8       # column chunk (sublane granularity for triangular restriction)
+# VMEM bound: ~4 resident (n, n, 128) f32 buffers + the live df32
+# temporaries of one QR step; n = 128 compiles and runs under the raised
+# 100 MB cap (measured; n = 256 would need ~4x that — stays on the
+# column-lane kernel)
+MAX_N = 128
 
 
 def _kernel(Ah_hbm, Al_hbm, r1_ref, out_ref, Bh, Bl, Ml, ah, al,

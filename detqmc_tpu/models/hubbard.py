@@ -74,10 +74,10 @@ class HubbardConfig:
     # only ONE spin sector is simulated — halving every matrix operation.
     # "auto": on iff mu == 0; "on"/"off" force.
     ph_symmetry: str = "auto"
-    # "auto": the lax.scan site loop everywhere (XLA's fusion of the
-    # rank-1 SM update now beats the fused Pallas slice kernel by ~10% at
-    # the headline config — measured round 2; the kernel remains available
-    # via "pallas", which requires float32)
+    # site-update path: "auto" picks the lane-batched Pallas kernel
+    # (pallas_update_lanes: walkers in the 128-lane axis) on TPU/f32 when
+    # delay == 0, else the lax.scan loop; "scan" / "pallas" (walker-tiled
+    # kernel) / "lanes" force a path (the kernels require float32)
     update_kernel: str = "auto"
     # "auto": df32 Pallas stabilization kernel on TPU when the f64 island
     # is active (XLA's emulated-f64 QR has ~90ms latency); "xla" forces
@@ -223,21 +223,28 @@ class HubbardModel:
             jnp.int32)
         # (-1)^(x+y) staggering for the AF structure factor
         self.stagger = jnp.asarray((-1.0) ** (x + y), dt)
-        # site-update path: "auto" = lax.scan (measured faster than the
-        # fused Pallas Metropolis kernel since the lanes green kernel
-        # landed); "pallas" keeps the kernel available (TPU + f32 only —
-        # Mosaic has no 64-bit lowering; interpret mode off-TPU)
+        # site-update path (see HubbardConfig.update_kernel). The kernels
+        # are TPU + f32 only (Mosaic has no 64-bit lowering); off-TPU a
+        # forced kernel runs in interpret mode.
+        self._use_pallas = False
+        self._use_lanes = False
+        self._pallas_interpret = False
         if cfg.update_kernel == "auto":
-            self._use_pallas = False
-            self._pallas_interpret = False
-        elif cfg.update_kernel == "pallas":
+            self._use_lanes = (jax.default_backend() == "tpu"
+                               and dt == jnp.dtype("float32")
+                               and cfg.delay == 0)
+        elif cfg.update_kernel in ("pallas", "lanes"):
             if dt != jnp.dtype("float32"):
-                raise ValueError("update_kernel='pallas' requires float32")
-            self._use_pallas = True
+                raise ValueError(
+                    f"update_kernel={cfg.update_kernel!r} requires float32")
+            if cfg.update_kernel == "lanes" and cfg.delay > 0:
+                raise ValueError("update_kernel='lanes' has no delayed "
+                                 "path (use 'pallas' or 'scan')")
+            self._use_pallas = cfg.update_kernel == "pallas"
+            self._use_lanes = cfg.update_kernel == "lanes"
             self._pallas_interpret = jax.default_backend() != "tpu"
         elif cfg.update_kernel == "scan":
-            self._use_pallas = False
-            self._pallas_interpret = False
+            pass
         else:
             raise ValueError(f"unknown update_kernel {cfg.update_kernel!r}")
         # df32 stabilization kernel selection
@@ -383,6 +390,12 @@ class HubbardModel:
     def update_slice(self, G, field_l, u01, sign=None):
         if sign is None:
             sign = jnp.ones((), self.cfg.jdtype)
+        if self._use_lanes:
+            from detqmc_tpu.linalg import pallas_update_lanes
+
+            return pallas_update_lanes.slice_update(
+                G, field_l, u01, sign, alpha=self.cfg.alpha,
+                interpret=self._pallas_interpret)
         if self._use_pallas:
             from detqmc_tpu.linalg import pallas_update
 

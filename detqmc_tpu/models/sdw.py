@@ -627,16 +627,24 @@ class SDWModel:
         phi: (m, N, opdim); l_idx 1-based slice converted by caller to
         0-based. Includes the two tau-links, four spatial bonds, r and u
         terms — everything that changes under a single-site update."""
+        m = self.cfg.m
+        return self._local_action_slice(
+            phi[l_idx], phi[(l_idx + 1) % m], phi[(l_idx - 1) % m],
+            i, phi_i, r)
+
+    def _local_action_slice(self, phi_l, phi_lp, phi_lm, i, phi_i, r):
+        """Same as _local_action from pre-gathered slices: phi_l is the
+        LIVE current slice (earlier sites of the sweep already updated),
+        phi_lp/phi_lm the tau-neighbor slices (constant during one
+        slice's site scan — the update loops hoist these out of the
+        sequential scan so the per-site op chain stays short)."""
         cfg = self.cfg
         dtau = cfg.dtau
-        m = cfg.m
-        lp = (l_idx + 1) % m
-        lm = (l_idx - 1) % m
-        tau_term = (jnp.sum((phi_i - phi[lp, i]) ** 2)
-                    + jnp.sum((phi_i - phi[lm, i]) ** 2)) \
+        tau_term = (jnp.sum((phi_i - phi_lp[i]) ** 2)
+                    + jnp.sum((phi_i - phi_lm[i]) ** 2)) \
             / (2.0 * cfg.c ** 2 * dtau ** 2)
         nbs = self.nb[i]                              # (4,)
-        grad = 0.5 * jnp.sum((phi_i[None, :] - phi[l_idx, nbs]) ** 2)
+        grad = 0.5 * jnp.sum((phi_i[None, :] - phi_l[nbs]) ** 2)
         phi2 = jnp.sum(phi_i ** 2)
         pot = 0.5 * r * phi2 + 0.25 * cfg.u * phi2 ** 2
         return dtau * (tau_term + grad + pot)
@@ -709,27 +717,38 @@ class SDWModel:
         cfg = self.cfg
         cdt = self.cdtype
         N = cfg.n_sites
+        m = cfg.m
         if r is None:
             r = jnp.asarray(cfg.r, cfg.jdtype)
         l_idx = l_1based - 1
         key, u01, rnd = self._draw_proposal_randoms(key, box_w)
         eye4 = jnp.eye(self.n_orb, dtype=cdt)
+        # hoisted out of the sequential site scan (the per-site op chain
+        # is latency-bound on TPU): tau-neighbor slices are constant
+        # during one slice's scan (m >= 2), and every site's OLD
+        # exp(+dtau V) is known up front — one batched assembly
+        phi_lp = phi[(l_idx + 1) % m]
+        phi_lm = phi[(l_idx - 1) % m]
+        phi_l0 = phi[l_idx]
+        evs_old_inv = self.exp_v_blocks(phi_l0, sign=+1.0)   # (N, q, q)
 
         def site_step(carry, i):
-            G, phi, phase = carry
-            phi_old = phi[l_idx, i]
+            G, phi_l, phase = carry
+            phi_old = phi_l[i]
             phi_new, jac = self._propose_site(phi_old, i, rnd, box_w, alt)
-            dS = (self._local_action(phi, l_idx, i, phi_new, r)
-                  - self._local_action(phi, l_idx, i, phi_old, r))
+            dS = (self._local_action_slice(phi_l, phi_lp, phi_lm, i,
+                                           phi_new, r)
+                  - self._local_action_slice(phi_l, phi_lp, phi_lm, i,
+                                             phi_old, r))
             if cfg.turnoffFermions:
                 accept = u01[i] < jnp.exp(jac - dS)
-                phi = phi.at[l_idx, i].set(
+                phi_l = phi_l.at[i].set(
                     jnp.where(accept, phi_new, phi_old))
-                return (G, phi, phase), accept.astype(cfg.jdtype)
+                return (G, phi_l, phase), accept.astype(cfg.jdtype)
             # Delta = e^{-dtau V(new)} e^{+dtau V(old)} - 1 (4x4, site i);
             # the inverse of e^{-dtau V(old)} is e^{+dtau V(old)}
             ev_new = self._exp_v_single(phi_new, -1.0)
-            ev_old_inv = self._exp_v_single(phi_old, +1.0)
+            ev_old_inv = evs_old_inv[i]
             Delta = mm(ev_new, ev_old_inv) - eye4
             idx = self._site_indices(i)
             G_II = G[jnp.ix_(idx, idx)]
@@ -759,16 +778,17 @@ class SDWModel:
             upd = mm(Gcols, mm(Ainv_D, rowsI))
             gate = accept.astype(cfg.jdtype)
             G = G - gate * upd
-            phi = phi.at[l_idx, i].set(
+            phi_l = phi_l.at[i].set(
                 jnp.where(accept, phi_new, phi_old))
             if self.embed or self.reduced:
                 pass  # physical ratios are real non-negative; phase stays 1
             else:
                 phase = jnp.where(accept, phase * R / jnp.abs(R), phase)
-            return (G, phi, phase), gate
+            return (G, phi_l, phase), gate
 
-        (G, phi, phase), acc = jax.lax.scan(
-            site_step, (G, phi, phase), jnp.arange(N))
+        (G, phi_l, phase), acc = jax.lax.scan(
+            site_step, (G, phi_l0, phase), jnp.arange(N))
+        phi = phi.at[l_idx].set(phi_l)    # one slice write-back
         return G, phi, key, phase, acc.mean()
 
     def _update_slice_delayed(self, G, phi, l_1based, key, phase, box_w,
@@ -802,22 +822,32 @@ class SDWModel:
         rnd = tuple(jnp.concatenate(
             [a, jnp.ones((pad,) + a.shape[1:], a.dtype)]) for a in rnd)
 
+        # hoisted like update_slice: tau-neighbor slices + all OLD
+        # exp(+dtau V) blocks, one batched assembly (m >= 2)
+        m = cfg.m
+        phi_lp = phi[(l_idx + 1) % m]
+        phi_lm = phi[(l_idx - 1) % m]
+        phi_l0 = phi[l_idx]
+        evs_old_inv = self.exp_v_blocks(phi_l0, sign=+1.0)   # (N, q, q)
+
         def block_step(carry, b):
-            G, phi, phase = carry
+            G, phi_l, phase = carry
             Ubuf = jnp.zeros((self.dim, kd * q), cdt)
             Wbuf = jnp.zeros((kd * q, self.dim), cdt)
 
             def site_step(c, j):
-                G, phi, Ubuf, Wbuf, phase = c
+                G, phi_l, Ubuf, Wbuf, phase = c
                 t = b * kd + j
                 i = site_ids[t]
-                phi_old = phi[l_idx, i]
+                phi_old = phi_l[i]
                 phi_new, jac = self._propose_site(phi_old, t, rnd, box_w,
                                                   alt)
-                dS = (self._local_action(phi, l_idx, i, phi_new, r)
-                      - self._local_action(phi, l_idx, i, phi_old, r))
+                dS = (self._local_action_slice(phi_l, phi_lp, phi_lm, i,
+                                               phi_new, r)
+                      - self._local_action_slice(phi_l, phi_lp, phi_lm, i,
+                                                 phi_old, r))
                 ev_new = self._exp_v_single(phi_new, -1.0)
-                ev_old_inv = self._exp_v_single(phi_old, +1.0)
+                ev_old_inv = evs_old_inv[i]
                 Delta = mm(ev_new, ev_old_inv) - eyeq
                 idx = self._site_indices(i)
                 # effective rows/cols of G including pending updates
@@ -846,22 +876,23 @@ class SDWModel:
                 z = jnp.int32(0)
                 Ubuf = jax.lax.dynamic_update_slice(Ubuf, Ucol, (z, j * q))
                 Wbuf = jax.lax.dynamic_update_slice(Wbuf, rowsI, (j * q, z))
-                phi = phi.at[l_idx, i].set(
+                phi_l = phi_l.at[i].set(
                     jnp.where(accept, phi_new, phi_old))
                 if not (self.embed or self.reduced):
                     phase = jnp.where(accept, phase * R / jnp.abs(R),
                                       phase)
-                return (G, phi, Ubuf, Wbuf, phase), gate
+                return (G, phi_l, Ubuf, Wbuf, phase), gate
 
-            (G, phi, Ubuf, Wbuf, phase), acc = jax.lax.scan(
-                site_step, (G, phi, Ubuf, Wbuf, phase),
+            (G, phi_l, Ubuf, Wbuf, phase), acc = jax.lax.scan(
+                site_step, (G, phi_l, Ubuf, Wbuf, phase),
                 jnp.arange(kd, dtype=jnp.int32))
             G = G + mm(Ubuf, Wbuf)  # flush: one blocked MXU gemm
-            return (G, phi, phase), acc
+            return (G, phi_l, phase), acc
 
-        (G, phi, phase), acc = jax.lax.scan(
-            block_step, (G, phi, phase),
+        (G, phi_l, phase), acc = jax.lax.scan(
+            block_step, (G, phi_l0, phase),
             jnp.arange(n_blocks, dtype=jnp.int32))
+        phi = phi.at[l_idx].set(phi_l)    # one slice write-back
         acc_real = acc.reshape(-1)[:N]
         return G, phi, key, phase, acc_real.mean()
 

@@ -31,6 +31,36 @@ def test_pallas_slice_update_matches_scan():
     np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-5)
 
 
+def test_lanes_slice_update_matches_scan():
+    """Lane-batched layout (pallas_update_lanes) vs the scan reference —
+    identical accept decisions, G to f32 tolerance, including the
+    batch-padding path (W not a multiple of 128) and ph mode."""
+    from detqmc_tpu.linalg.pallas_update_lanes import (
+        slice_update as lanes_update)
+
+    for ph in ("off", "on"):
+        cfg = HubbardConfig(L=4, U=4.0, beta=4.0, m=40, s=8,
+                            dtype="float32", stab_dtype="float32",
+                            ph_symmetry=ph)
+        model = HubbardModel(cfg)
+        keys = jax.random.split(jax.random.key(2), 3)
+        states = jax.vmap(model.init_state)(keys)
+        u01 = jax.random.uniform(jax.random.key(5), (3, 16),
+                                 dtype=jnp.float32)
+        signs = jnp.ones((3,), jnp.float32)
+        fls = states.field[:, 3]
+        G1, f1, s1, a1 = jax.vmap(model.update_slice)(
+            states.G, fls, u01, signs)
+        G2, f2, s2, a2 = jax.vmap(lambda g, f, u, s: lanes_update(
+            g, f, u, s, alpha=cfg.alpha, interpret=True))(
+                states.G, fls, u01, signs)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_allclose(np.asarray(G1), np.asarray(G2),
+                                   atol=1e-5)
+
+
 def test_pallas_slice_update_vmap():
     cfg = HubbardConfig(L=4, U=4.0, beta=4.0, m=40, s=8, dtype="float32",
                         stab_dtype="float32")
