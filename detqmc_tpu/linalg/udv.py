@@ -107,7 +107,13 @@ def udv_refactor(M: jax.Array, d: jax.Array, V: jax.Array,
                       jnp.exp(logd[..., None, :] - logd[..., :, None]),
                       0.0)
     Vb = g.V.astype(cdt) * ratio.astype(cdt)
-    return UDV(U=g.U, d=d_new, V=mm(Vb, V.astype(cdt)))
+    # the V-chain accumulation is the sweep's hottest f64 product on TPU
+    # (40 calls/pair at the headline config); mm_f64 routes it through
+    # exact bf16-limb MXU matmuls (linalg/ozaki) instead of XLA's
+    # double-word emulation, with the same ~2^-48 accuracy
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    return UDV(U=g.U, d=d_new, V=mm_f64(Vb, V.astype(cdt)))
 
 
 def udv_multiply_left(B: jax.Array, f: UDV) -> UDV:
@@ -205,9 +211,12 @@ def green_from_two_udv_df32(left: UDV, right_t: UDV,
     from detqmc_tpu.linalg import df32 as _df
 
     UhU = mm(_H(U1), U2).astype(f64)
-    # V1 V2^H must stay f64: the composed stack V factors carry real
-    # beyond-f32 information (measured: f32 here costs 5x in G accuracy)
-    VVh = mm(left.V.astype(f64), _H(right_t.V.astype(f64)))
+    # V1 V2^H must stay f64-accurate: the composed stack V factors carry
+    # real beyond-f32 information (measured: f32 here costs 5x in G
+    # accuracy). mm_f64 = exact bf16-limb MXU product (linalg/ozaki).
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    VVh = mm_f64(left.V.astype(f64), _H(right_t.V.astype(f64)))
     inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
              + scale_cols(scale_rows(d1min, VVh), d2min))
     hi, lo = _df.from_f64(inner)
