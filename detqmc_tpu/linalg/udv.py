@@ -57,8 +57,24 @@ def udv_decompose(A: jax.Array) -> UDV:
     The phase/sign of R's diagonal is folded into U so d stays positive,
     matching the reference's convention (positive scales make log-domain
     bookkeeping and conditioning monitors straightforward).
+
+    On TPU the f32 factorization dispatches to the lane-batched Pallas
+    kernel (pallas_qr_lanes; the sign convention differs from LAPACK's
+    but is normalized away right here).
     """
+    n = A.shape[-1]
+    if (A.dtype == jnp.float32 and n % 8 == 0
+            and jax.default_backend() == "tpu"):
+        from detqmc_tpu.linalg.pallas_qr_lanes import MAX_N, qr_lanes
+
+        if n <= MAX_N:
+            Q, R = qr_lanes(A)
+            return _sign_fix(A, Q, R)
     Q, R = jnp.linalg.qr(A)
+    return _sign_fix(A, Q, R)
+
+
+def _sign_fix(A, Q, R) -> UDV:
     diag = jnp.diagonal(R, axis1=-2, axis2=-1)
     d = jnp.abs(diag)
     safe = jnp.where(d == 0, 1.0, d)  # guard degenerate input
