@@ -92,6 +92,28 @@ def mul(a: DF, b: DF) -> DF:
     return quick_two_sum(p, e)
 
 
+def presplit(b: DF):
+    """Cache the Dekker split of b's hi part for repeated products
+    (Householder vectors multiply O(n) other elements per step — the
+    split is 3 of TwoProd's 14 ops and is operand-invariant)."""
+    bh, bl = _split(b[0])
+    return (b[0], b[1], bh, bl)
+
+
+def mul_ps(a: DF, bp) -> DF:
+    """a * b with b pre-split (presplit). Returns an UNNORMALIZED pair
+    (still an exact value + error representation with |lo| <~ 2^-22|hi|,
+    safe for add/sub/reduce_*, whose TwoSum does not require normalized
+    inputs) — skips b's split and the final renormalization: 15 f32 ops
+    instead of mul's 21."""
+    b0, b1, bh, bl = bp
+    p = a[0] * b0
+    ah, al = _split(a[0])
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    e = err + a[0] * b1 + a[1] * b0
+    return p, e
+
+
 def mul_f32(a: DF, b) -> DF:
     """a * b with plain-f32 b (e.g. 0/1 masks, signs: exact when b exact)."""
     p, e = two_prod(a[0], b)

@@ -96,16 +96,17 @@ def _kernel(Ah_hbm, Al_hbm, r1_ref, out_ref, Bh, Bl, Ml, ah, al,
             vtv = df32.reduce_axis0(df32.mul(v, v), sz)
             guard = (vtv[0] == 0).astype(f32)             # degenerate input
             beta = df32.mul_f32(df32.recip((vtv[0] + guard, vtv[1])), 2.0)
+            vp = df32.presplit(v)                         # reused 4x below
 
             B = (Bh[rs, rs, :], Bl[rs, rs, :])            # (sz, sz, WL)
-            s_row = df32.reduce_axis0(df32.mul(B, v), sz)  # (1, sz, WL)
+            s_row = df32.reduce_axis0(df32.mul_ps(B, vp), sz)  # (1,sz,WL)
             bs = df32.mul(s_row, beta)
-            newB = df32.sub(B, df32.mul(v, bs))
+            newB = df32.sub(B, df32.mul_ps(bs, vp))
             Bh[rs, rs, :], Bl[rs, rs, :] = newB
 
             M = (Mh[rs, :, :], Ml[rs, :, :])              # (sz, n, WL)
-            sM = df32.reduce_axis0(df32.mul(M, v), sz)    # (1, n, WL)
-            newM = df32.sub(M, df32.mul(v, df32.mul(sM, beta)))
+            sM = df32.reduce_axis0(df32.mul_ps(M, vp), sz)  # (1, n, WL)
+            newM = df32.sub(M, df32.mul_ps(df32.mul(sM, beta), vp))
             Mh[rs, :, :], Ml[rs, :, :] = newM
 
             ah[pl.ds(j, 1)], al[pl.ds(j, 1)] = alpha      # record R_jj
@@ -130,8 +131,9 @@ def _kernel(Ah_hbm, Al_hbm, r1_ref, out_ref, Bh, Bl, Ml, ah, al,
             Rcol = df32.mask(
                 (Bh[pl.ds(0, top), pl.ds(j, 1), :],
                  Bl[pl.ds(0, top), pl.ds(j, 1), :]), lt)  # (top, 1, WL)
+            Rp = df32.presplit(Rcol)
             Mtop = (Mh[pl.ds(0, top), :, :], Ml[pl.ds(0, top), :, :])
-            newM = df32.sub(Mtop, df32.mul(Rcol, xrow))
+            newM = df32.sub(Mtop, df32.mul_ps(xrow, Rp))
             Mh[pl.ds(0, top), :, :], Ml[pl.ds(0, top), :, :] = newM
             return ()
 
