@@ -22,10 +22,12 @@ Wins over the column-lane layout for n <= 64:
   reductions run over the row axis, and masks are cheap row-iota selects
   (df32.mask: exact, no TwoProd) instead of mul_f32 chains.
 
-VMEM bounds the lane batch: ~6 (n, n, 128) f32 buffers must fit in
-~16 MB, so this kernel serves n <= MAX_N (= 64); larger matrices (SDW
-embedded dims) stay on pallas_green, whose layout has no padding waste at
-n >= 128. The dispatch lives in pallas_green.solve_inner.
+VMEM bounds the lane batch: ~4 resident (n, n, 128) f32 buffers plus one
+QR step's live df32 temporaries, under a raised 100 MB scoped cap —
+n <= MAX_N (= 128, measured to compile and run); larger matrices (e.g.
+L >= 8 SDW embedded dims) stay on pallas_green, whose VMEM footprint
+scales with its walker tile instead of n^2 * 128. The dispatch lives in
+pallas_green.solve_inner.
 
 Algorithm and conventions (alpha sign, r1 seeding of M, strict-upper
 back-substitution) match pallas_green._kernel exactly; the back-
