@@ -111,12 +111,12 @@ def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
             guard = (vtv[0] == 0).astype(Bh_in.dtype)
             vtv = (vtv[0] + guard, vtv[1])
             beta = df32.mul_f32(df32.recip(vtv), 2.0)    # (T, 1, 1)
+            vp = df32.presplit(v)                        # reused below
 
             B = (Bh[:, cs, ls], Bl[:, cs, ls])           # (T, szc, szl)
-            s_col = df32.reduce_last(df32.mul(B, v), szl)  # (T, szc, 1)
+            s_col = df32.reduce_last(df32.mul_ps(B, vp), szl)  # (T,szc,1)
             bs = df32.mul(s_col, beta)
-            upd = df32.mul(bs, v)
-            newB = df32.sub(B, upd)
+            newB = df32.sub(B, df32.mul_ps(bs, vp))
             Bh[:, cs, ls], Bl[:, cs, ls] = newB
 
             # M rows = A-rows; v has support on rows >= j >= a8, so M's
@@ -125,12 +125,12 @@ def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
             off = a8 - c0
             v_col = (jnp.swapaxes(v[0], -1, -2)[:, off:, :],
                      jnp.swapaxes(v[1], -1, -2)[:, off:, :])  # (T, szc, 1)
+            vcp = df32.presplit(v_col)
             ms = pl.ds(a8, szc)
             M = (Mh[:, ms, :], Ml[:, ms, :])             # (T, szc, n)
-            vtM = df32.reduce_axis2(df32.mul(M, v_col), szc)  # (T, 1, n)
+            vtM = df32.reduce_axis2(df32.mul_ps(M, vcp), szc)  # (T, 1, n)
             bv = df32.mul(v_col, beta)
-            updM = df32.mul(bv, vtM)
-            newM = df32.sub(M, updM)
+            newM = df32.sub(M, df32.mul_ps(vtM, df32.presplit(bv)))
             Mh[:, ms, :], Ml[:, ms, :] = newM
 
             # record alpha_j
@@ -170,7 +170,8 @@ def _kernel(Bh_in, Bl_in, r1_ref, out_ref,
                     jnp.swapaxes(Rrow[1], -1, -2)[:, off:, :])  # (T,szc,1)
             xs = pl.ds(a8, szc)
             X = (Xh[:, xs, :], Xl[:, xs, :])             # (T, szc, n)
-            contrib = df32.reduce_axis2(df32.mul(X, Rcol), szc)  # (T,1,n)
+            contrib = df32.reduce_axis2(
+                df32.mul_ps(X, df32.presplit(Rcol)), szc)  # (T, 1, n)
             Mrow = (Mh[:, pl.ds(j, 1), :], Ml[:, pl.ds(j, 1), :])
             a_j = df32.reduce_last(
                 df32.mask((ah[:, :, ls], al[:, :, ls]), onehot), szl)
