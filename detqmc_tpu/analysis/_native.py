@@ -30,13 +30,25 @@ def _build() -> bool:
     src = os.path.join(_SRC_DIR, "mrpt_core.cpp")
     if not os.path.exists(src):
         return False
+    # compile to a private temp file and rename into place: concurrent
+    # pytest-xdist workers may race on the build, and dlopen of a
+    # half-written .so must never happen (rename is atomic on POSIX)
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_SRC_DIR)
+    os.close(fd)
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-             src, "-o", _LIB_PATH],
+             src, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -66,6 +66,52 @@ class DriverConfig:
         return self.sweeps // self.measure_interval
 
 
+class ConsistencyLogger:
+    """Run-output numerical self-checks (reference: DetModelLoggingParams'
+    logSV singular-value files + wrapped-vs-stabilized Green deviation
+    logging, SURVEY.md §5 item 1).
+
+    Appends one row per device block to ``greendev.series`` (walker
+    median + max of the wrapped-vs-freshly-stabilized G deviation) and
+    ``sv.series`` (walker medians of the log10 extreme stack singular
+    values), and exposes the latest values for the info.dat echo."""
+
+    def __init__(self, outdir: Optional[str], meta: Optional[Metadata]):
+        self.outdir = outdir
+        self.meta = meta
+        self._writers = None
+        self.last: Dict[str, float] = {}
+
+    def log(self, states) -> None:
+        if self.outdir is None or not hasattr(states, "green_dev"):
+            return
+        dev = np.asarray(states.green_dev, np.float64).ravel()
+        svlo = np.asarray(states.sv_min, np.float64).ravel()
+        svhi = np.asarray(states.sv_max, np.float64).ravel()
+        self.last = {
+            "greenDevMedian": float(np.median(dev)),
+            "greenDevMax": float(dev.max()),
+            "svLog10Min": float(np.median(svlo)),
+            "svLog10Max": float(np.median(svhi)),
+        }
+        if self._writers is None:
+            from detqmc_tpu.io.series import SeriesWriter
+
+            self._writers = (
+                SeriesWriter(f"{self.outdir}/greendev.series",
+                             "greendev: median max", meta=self.meta),
+                SeriesWriter(f"{self.outdir}/sv.series",
+                             "sv: log10_min log10_max", meta=self.meta),
+            )
+        self._writers[0].append(np.asarray(
+            [[self.last["greenDevMedian"], self.last["greenDevMax"]]]))
+        self._writers[1].append(np.asarray(
+            [[self.last["svLog10Min"], self.last["svLog10Max"]]]))
+
+    def info_entries(self) -> Dict[str, str]:
+        return {k: repr(v) for k, v in self.last.items()}
+
+
 class DetQMC:
     """Owns model + walker states + observable handler (reference: DetQMC
     owns model, RNG, handlers)."""
@@ -86,6 +132,7 @@ class DetQMC:
         self._t_start = time.time()
         self._stopped_early = False
         self._phi_stream = None
+        self._consistency = ConsistencyLogger(params.outdir, self.meta)
 
         # vmapped device programs, compiled lazily on first use
         vm = jax.vmap
@@ -242,6 +289,7 @@ class DetQMC:
             info = dict(self.meta)
             info["measurementsDone"] = str(self.measurements_done)
             info["thermalizationDone"] = str(self.therm_done)
+            info.update(self._consistency.info_entries())
             write_metadata(f"{self.p.outdir}/info.dat", info)
 
     # -- main loop ---------------------------------------------------------------
@@ -281,17 +329,20 @@ class DetQMC:
 
         while self.measurements_done < self.p.n_measurements:
             t0 = time.time()
+            # the last block is sized to the remaining measurements (no
+            # compute-and-discard tail overshoot); a non-multiple sweep
+            # count costs one extra trace/compile for the short block
+            n_new = min(self.p.block_meas,
+                        self.p.n_measurements - self.measurements_done)
             fire = self._global_fire_flags(
                 2 * self.p.measure_interval * self.measurements_done,
-                self.p.block_meas, 2 * self.p.measure_interval)
+                n_new, 2 * self.p.measure_interval)
             with timing("measurement block"):
                 self.states, obs = self._meas_block(self.states, fire)
                 jax.block_until_ready(self.states.G)
             t_block = time.time() - t0
-            n_new = min(self.p.block_meas,
-                        self.p.n_measurements - self.measurements_done)
             # device layout: (W, T, ...) -> handler wants (T, W, ...)
-            batch = {k: np.swapaxes(np.asarray(v), 0, 1)[:n_new]
+            batch = {k: np.swapaxes(np.asarray(v), 0, 1)
                      for k, v in obs._asdict().items()}
             if self._timedisp_fn is not None:
                 gk = np.asarray(self._timedisp_fn(self.states))  # (W,K+1,N)
@@ -306,6 +357,7 @@ class DetQMC:
                     self._phi_stream = BinaryStreamWriter(
                         f"{self.p.outdir}/phi.binarystream", phi.shape[1:])
                 self._phi_stream.append(phi)
+            self._consistency.log(self.states)
             self.measurements_done += n_new
             if (self.p.save_interval and self.measurements_done %
                     self.p.save_interval < self.p.block_meas):

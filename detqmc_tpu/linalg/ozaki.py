@@ -53,6 +53,15 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
     from exact bf16 MXU limb products (~2^-48 relative accuracy)."""
     assert A.dtype == jnp.float64 and B.dtype == jnp.float64
     k = A.shape[-1]
+    if k >= 2 ** 20:
+        # s degrades as k grows (exactness needs 2s + log2(k) <= 24); by
+        # k ~ 2^22 the limb count explodes and at 2^24 s hits 0 — far
+        # beyond any DQMC contraction. Fail loudly instead of silently
+        # emitting hundreds of matmuls.
+        raise ValueError(
+            f"ozaki.matmul_f64: contraction dim k={k} unsupported "
+            "(needs k < 2^20 for exact bf16 limb accumulation); use the "
+            "emulated-f64 path")
     s = min(8, (24 - max(1, math.ceil(math.log2(max(k, 2))))) // 2)
     L = limbs if limbs is not None else -(-48 // s)
     tiny = jnp.float64(2.0 ** -960)
@@ -94,14 +103,22 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
     return out * sa * sb
 
 
-@functools.lru_cache(maxsize=1)
 def _use_ozaki() -> bool:
+    # escape hatch for debugging accuracy regressions: the Ozaki path is
+    # ~2^-44..2^-48 relative-to-norm vs emulated-f64's ~2^-53; set
+    # DETQMC_TPU_NO_OZAKI=1 to force the exact emulated path. Checked per
+    # call (cheap) so tests can flip it mid-process.
+    import os
+
+    if os.environ.get("DETQMC_TPU_NO_OZAKI"):
+        return False
     return jax.default_backend() == "tpu"
 
 
 def mm_f64(A: jax.Array, B: jax.Array) -> jax.Array:
     """f64 matmul on the fastest valid path: Ozaki bf16-limb MXU products
-    on TPU, a plain HIGHEST-precision dot elsewhere."""
+    on TPU, a plain HIGHEST-precision dot elsewhere (or when
+    DETQMC_TPU_NO_OZAKI is set)."""
     if A.dtype == jnp.float64 and B.dtype == jnp.float64 and _use_ozaki():
         return matmul_f64(A, B)
     from detqmc_tpu.precision import mm

@@ -153,7 +153,7 @@ def _call_lanes(Ah, Al, r1, *, interpret: bool):
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     vec = functools.partial(pl.BlockSpec, (n, 1, WL),
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-    hbm = functools.partial(pl.BlockSpec, memory_space=pltpu.ANY)
+    hbm = functools.partial(pl.BlockSpec, memory_space=pl.ANY)
     scratch = ([pltpu.VMEM((n, n, WL), jnp.float32) for _ in range(3)]
                + [pltpu.VMEM((n, 1, WL), jnp.float32) for _ in range(2)]
                + [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA])

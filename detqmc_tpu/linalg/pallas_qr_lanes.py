@@ -92,7 +92,7 @@ def _call_lanes(A, *, interpret: bool):
     G = Gn // n
     mat = functools.partial(pl.BlockSpec, (n, n, WL),
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-    hbm = functools.partial(pl.BlockSpec, memory_space=pltpu.ANY)
+    hbm = functools.partial(pl.BlockSpec, memory_space=pl.ANY)
     with jax.enable_x64(False):
         Q, R = pl.pallas_call(
             functools.partial(_kernel, n=n),

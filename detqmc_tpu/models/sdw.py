@@ -1429,6 +1429,10 @@ class SDWModel:
             full_t.U, full_t.d, full_t.V.astype(full_t.U.dtype)))
 
     # ---- parallel tempering hooks -------------------------------------------
+    # the parameter the PT exchange swaps (reference: the SDW tuning
+    # parameter r; PTConfig.control_parameter is validated against this)
+    control_parameter = "r"
+
     def exchange_action(self, state: "SDWState") -> jax.Array:
         """The r-conjugate action piece a = dS/dr = dtau/2 sum phi^2 —
         the only term that moves in a parameter swap (the fermion

@@ -27,8 +27,7 @@ class ObservableHandler:
     """Accumulates per-measurement observable values.
 
     - scalar observables: values of shape () or (W,) per measurement
-      (W walkers are averaged into one sample per measurement; walker
-      resolution can be kept via ``keep_walkers``)
+      (W walkers are averaged into one sample per measurement)
     - vector observables: shape (k,) or (W, k)
 
     ``insert_batch`` takes a dict of stacked arrays with a leading
@@ -37,13 +36,11 @@ class ObservableHandler:
 
     def __init__(self, outdir: Optional[str] = None, jk_blocks: int = 20,
                  timeseries: bool = False,
-                 meta: Optional[Metadata] = None,
-                 keep_walkers: bool = False):
+                 meta: Optional[Metadata] = None):
         self.outdir = outdir
         self.jk_blocks = jk_blocks
         self.timeseries = timeseries and outdir is not None
         self.meta = meta or {}
-        self.keep_walkers = keep_walkers
         self._scalar: Dict[str, List[np.ndarray]] = {}
         self._vector: Dict[str, List[np.ndarray]] = {}
         self._writers: Dict[str, SeriesWriter] = {}
@@ -65,10 +62,8 @@ class ObservableHandler:
                     name, arr)):
                 # scalar observable, maybe with walker axis
                 samples = arr if arr.ndim == 1 else arr.mean(axis=1)
-                per_walker = arr if arr.ndim == 2 else arr[:, None]
-                store = per_walker if self.keep_walkers else samples
                 self._scalar.setdefault(name, []).append(
-                    np.atleast_1d(store))
+                    np.atleast_1d(samples))
                 if self.timeseries:
                     self._series_writer(name).append(np.atleast_1d(samples))
             else:

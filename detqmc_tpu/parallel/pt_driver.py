@@ -34,6 +34,10 @@ from detqmc_tpu.parallel import pt as pt_mod
 @dataclasses.dataclass(frozen=True)
 class PTConfig:
     exchange_interval: int = 1   # sweep pairs between exchange attempts
+    # which model parameter the exchange swaps (reference: the PT config's
+    # controlParameter — "r" for the SDW model). Validated against the
+    # model's declared ``control_parameter`` at driver construction and
+    # echoed into the per-run metadata.
     control_parameter: str = "r"
 
 
@@ -47,6 +51,14 @@ class DetQMCPT:
         self.model = model
         self.p = params
         self.ptp = pt_params
+        supported = getattr(model, "control_parameter", "r")
+        if pt_params.control_parameter != supported:
+            from detqmc_tpu.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                f"PT control_parameter={pt_params.control_parameter!r} "
+                f"but {type(model).__name__} exchanges "
+                f"{supported!r} (its with_r/exchange_action hooks)")
         self.r_values = jnp.asarray(np.asarray(r_values, np.float64),
                                     model.cfg.jdtype)
         self.R = len(r_values)
@@ -54,6 +66,7 @@ class DetQMCPT:
                      dataclasses.asdict(model.cfg).items()}
         self.meta.update({
             "exchangeInterval": str(pt_params.exchange_interval),
+            "controlParameter": pt_params.control_parameter,
             "controlParameterValues": ",".join(str(v) for v in r_values),
             **(meta_extra or {}),
         })
@@ -70,6 +83,10 @@ class DetQMCPT:
         self.measurements_done = 0
         self.therm_done = 0
         self._t_start = time.time()
+        from detqmc_tpu.driver import ConsistencyLogger
+
+        self._consistency = ConsistencyLogger(params.outdir, self.meta)
+        self._phi_streams: Dict[int, Any] = {}
 
         vm = jax.vmap
 
@@ -186,6 +203,27 @@ class DetQMCPT:
             return False
         return (time.time() - self._t_start + margin) >= self.p.walltime_secs
 
+    def _dump_configs(self) -> None:
+        """Per-parameter phi .binarystream dumps (reference:
+        DetSDWSystemConfig per-replica config streams, SURVEY.md §3 "SDW
+        config dumps"): each parameter value's stream receives the field
+        of whichever replica currently holds that parameter, so the
+        offline sdwcorr-over-PT pipeline reads a fixed-r ensemble."""
+        if not (self.p.dump_config_stream and self.p.outdir
+                and hasattr(self.states, "phi")):
+            return
+        from detqmc_tpu.io.binarystream import BinaryStreamWriter
+
+        phi = np.asarray(self.states.phi)               # (R, m, N, opdim)
+        rep_of_param = np.argsort(
+            np.asarray(self.pt_state.param_of_replica))  # param -> replica
+        for k in range(self.R):
+            if k not in self._phi_streams:
+                self._phi_streams[k] = BinaryStreamWriter(
+                    os.path.join(self.p.outdir, f"p{k}",
+                                 "phi.binarystream"), phi.shape[1:])
+            self._phi_streams[k].append(phi[rep_of_param[k]])
+
     def run(self) -> Dict[int, Dict[str, Tuple[float, float]]]:
         """Thermalize + measure with walltime-aware checkpointing; a
         resumed run continues the exact Markov chain (reference: the
@@ -232,6 +270,8 @@ class DetQMCPT:
                     {name: arr[mask] for name, arr in obs_np.items()})
             self.measurements_done += n
             self.states, self.pt_state = carry
+            self._consistency.log(self.states)
+            self._dump_configs()
             if (self.p.save_interval and self.measurements_done % max(
                     self.p.save_interval, 1) < block):
                 self.save()
@@ -251,6 +291,10 @@ class DetQMCPT:
                                dict(h.meta))
             results[k] = h.results()
         if self.p.outdir:
+            info = dict(self.meta)
+            info["measurementsDone"] = str(self.measurements_done)
+            info.update(self._consistency.info_entries())
+            write_metadata(os.path.join(self.p.outdir, "info.dat"), info)
             att = np.asarray(self.pt_state.n_attempted)
             acc = np.asarray(self.pt_state.n_accepted)
             with open(os.path.join(self.p.outdir, "exchange-rates.dat"),

@@ -64,3 +64,39 @@ def test_global_update_interval_honored():
     every.run()
     assert not np.array_equal(np.asarray(off.states.phi),
                               np.asarray(every.states.phi))
+
+
+def test_consistency_logs_written(tmp_path):
+    """The green_dev / SV monitors must reach run output (reference:
+    DetModelLoggingParams' logSV + wrapped-vs-stabilized deviation files,
+    SURVEY.md §5 item 1) and echo into info.dat."""
+    from detqmc_tpu.io.series import load_series
+    from detqmc_tpu.metadata import read_metadata
+
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=8, s=4, dtype="float64")
+    p = DriverConfig(sweeps=10, thermalization=2, n_walkers=2, seed=4,
+                     block_meas=5, outdir=str(tmp_path / "run"))
+    qmc = DetQMC(HubbardModel(cfg), p)
+    qmc.run()
+    gd, _ = load_series(str(tmp_path / "run" / "greendev.series"))
+    sv, _ = load_series(str(tmp_path / "run" / "sv.series"))
+    assert gd.shape == (2, 2) and sv.shape == (2, 2)  # (blocks, [med max])
+    assert (gd >= 0).all() and np.isfinite(sv).all()
+    assert (gd[:, 1] >= gd[:, 0]).all()       # max >= median
+    assert (sv[:, 1] >= sv[:, 0]).all()       # log10 sv_max >= sv_min
+    info = read_metadata(str(tmp_path / "run" / "info.dat"))
+    assert "greenDevMedian" in info and "svLog10Max" in info
+    assert float(info["greenDevMedian"]) >= 0.0
+
+
+def test_tail_block_sized_to_remaining():
+    """sweeps not a multiple of block_meas*measure_interval must produce
+    exactly n_measurements samples with a right-sized final device block
+    (no compute-and-discard overshoot)."""
+    cfg = HubbardConfig(L=2, U=4.0, beta=1.0, m=8, s=4, dtype="float64")
+    p = DriverConfig(sweeps=7, thermalization=2, n_walkers=1, seed=5,
+                     block_meas=5)
+    qmc = DetQMC(HubbardModel(cfg), p)
+    qmc.run()
+    assert qmc.handler.n_samples() == 7
+    assert qmc.measurements_done == 7

@@ -211,3 +211,56 @@ def test_pt_walltime_stops_and_saves(tmp_path):
     qmc.run()
     assert qmc.measurements_done < 10_000
     assert (tmp_path / "wt" / "state.npz").exists()
+
+
+def test_pt_control_parameter_validated():
+    """PTConfig.control_parameter is checked against the model's declared
+    exchange parameter (dead-knob fix: an unsupported name must fail
+    loudly, not silently swap r anyway)."""
+    import pytest as _pytest
+
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.exceptions import ConfigurationError
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    cfg = SDWConfig(L=2, opdim=1, r=1.0, u=0.5, beta=1.0, m=4, s=2,
+                    turnoffFermions=True, dtype="float64")
+    with _pytest.raises(ConfigurationError):
+        DetQMCPT(SDWModel(cfg), [0.0, 1.0], DriverConfig(n_walkers=2),
+                 PTConfig(control_parameter="beta"))
+
+
+def test_pt_phi_dumps_feed_sdwcorr(tmp_path):
+    """PT runs dump per-parameter phi .binarystream files routed by the
+    current label assignment (reference: DetSDWSystemConfig per-replica
+    dumps), and the offline sdwcorr pipeline consumes them."""
+    from detqmc_tpu.analysis.sdwcorr import phi_correlations
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.io.binarystream import read_binarystream
+    from detqmc_tpu.io.series import load_series
+    from detqmc_tpu.metadata import read_metadata
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    r_grid = [0.2, 1.0]
+    cfg = SDWConfig(L=2, opdim=2, r=0.2, u=0.5, beta=1.0, m=4, s=2,
+                    turnoffFermions=True, dtype="float64")
+    p = DriverConfig(sweeps=12, thermalization=4, n_walkers=2, seed=6,
+                     block_meas=6, outdir=str(tmp_path / "pt"),
+                     dump_config_stream=True)
+    qmc = DetQMCPT(SDWModel(cfg), r_grid, p, PTConfig())
+    qmc.run()
+    for k in range(2):
+        path = str(tmp_path / "pt" / f"p{k}" / "phi.binarystream")
+        phi = read_binarystream(path)
+        assert phi.shape == (2, 4, 4, 2)  # (blocks, m, N, opdim)
+        out = phi_correlations(phi, cfg.L)
+        assert np.isfinite(out["struct_k"]).all()
+        assert out["chi_q0"] >= 0.0
+    # PT run-level consistency logs + info.dat
+    gd, _ = load_series(str(tmp_path / "pt" / "greendev.series"))
+    assert gd.shape[0] == 2 and (gd >= 0).all()
+    info = read_metadata(str(tmp_path / "pt" / "info.dat"))
+    assert "greenDevMedian" in info
+    assert info["controlParameter"] == "r"
