@@ -49,6 +49,11 @@ class DriverConfig:
     seed: int = 0
     block_meas: int = 25           # measurements per device block
     timedisplaced: bool = False    # unequal-time G(k, tau) once per block
+    # resolve G(k, tau) at every slice (m+1 tau points, B-wrapped between
+    # stabilization anchors — the reference's TimeDisplaced resolution)
+    # instead of the K+1 stabilization-grid points; the wrap deviation is
+    # recorded as the timeDisplacedDev observable
+    timedisplaced_slices: bool = False
     # shard the walker axis over this many devices (0 = single device;
     # walkers are embarrassingly parallel, so XLA partitions the vmapped
     # blocks across the mesh with no collectives — the TPU-native
@@ -176,7 +181,11 @@ class DetQMC:
         self._timedisp_fn = None
         if params.timedisplaced and hasattr(model,
                                             "measure_time_displaced"):
-            self._timedisp_fn = jax.jit(vm(model.measure_time_displaced))
+            import functools as _ft
+
+            self._timedisp_fn = jax.jit(vm(_ft.partial(
+                model.measure_time_displaced,
+                per_slice=params.timedisplaced_slices)))
 
         self.states = None
 
@@ -345,7 +354,14 @@ class DetQMC:
             batch = {k: np.swapaxes(np.asarray(v), 0, 1)
                      for k, v in obs._asdict().items()}
             if self._timedisp_fn is not None:
-                gk = np.asarray(self._timedisp_fn(self.states))  # (W,K+1,N)
+                out = self._timedisp_fn(self.states)
+                if self.p.timedisplaced_slices:
+                    gk, td_dev = out                  # (W, m+1, N), (W,)
+                    batch["timeDisplacedDev"] = np.asarray(
+                        td_dev)[None]                 # (1, W) scalar obs
+                else:
+                    gk = out                          # (W, K+1, N)
+                gk = np.asarray(gk)
                 batch["greenKTauVector"] = gk.reshape(
                     1, gk.shape[0], -1)  # one sample per block
             self.handler.insert_batch(batch)

@@ -728,17 +728,68 @@ class HubbardModel:
         G_dn = eta[:, None] * G_bt * eta[None, :]
         return jnp.concatenate([G_up, G_dn], axis=1)      # (K+1, 2, N, N)
 
-    def measure_time_displaced(self, state: WalkerState) -> jax.Array:
-        """Momentum-diagonal G(k, tau) on the stabilization grid:
-        (K+1, N) real, spin-averaged over BOTH sectors (in ph mode the
-        down sector is reconstructed exactly — reference observable:
-        time-displaced Green)."""
-        G_tau = self.time_displaced_greens(state.field)   # (K+1, 2, N, N)
+    def time_displaced_greens_all(self, field: jax.Array):
+        """G(tau, 0) at EVERY slice tau = 0..m: (m+1, C, N, N), plus the
+        max wrap deviation against the stabilized anchors.
+
+        Reference: the TimeDisplaced=true path resolves all m slices by
+        B-wrapping between stabilization points (SURVEY.md §3 "DQMC
+        core", §9 "Unequal-time"): within interval k,
+        G(ks+j, 0) = B_{ks+j} ... B_{ks+1} G(ks, 0); at each next anchor
+        the freshly stabilized value replaces the wrapped one and their
+        difference is monitored like green_dev."""
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        cb = cfg.checkerboard
+        anchors = self.time_displaced_greens(field)   # (K+1, C, N, N)
+        e = jax.vmap(self.exp_v)(field)               # (m, ncomp, N)
+        if cfg.ph_on:
+            # wrap the reconstructed down sector with its own
+            # B_dn = expK e^{-alpha s} (exact at mu = 0, cf. ph image)
+            e = jnp.concatenate([e, 1.0 / e], axis=1)     # (m, 2, N)
+
+        def interval(_, xs):
+            g0, g_next, e_k = xs                      # e_k: (s, C, N)
+
+            def wrap(G, j):
+                G = bchain.b_mult_left(self.prop, e_k[j], G,
+                                       checkerboard=cb)
+                return G, G
+
+            g_last, wrapped = jax.lax.scan(wrap, g0,
+                                           jnp.arange(s_int - 1))
+            g_end, _ = wrap(g_last, s_int - 1)
+            dev = jnp.abs(g_end - g_next).max()
+            out = jnp.concatenate([g0[None], wrapped], axis=0)  # (s, ...)
+            return None, (out, dev)
+
+        e_blocks = e.reshape((K, s_int) + e.shape[1:])
+        _, (blocks, devs) = jax.lax.scan(
+            interval, None, (anchors[:K], anchors[1:], e_blocks))
+        G_all = jnp.concatenate(
+            [blocks.reshape((K * s_int,) + anchors.shape[1:]),
+             anchors[K][None]], axis=0)
+        return G_all, devs.max()
+
+    def measure_time_displaced(self, state: WalkerState,
+                               per_slice: bool = False) -> jax.Array:
+        """Momentum-diagonal G(k, tau), spin-averaged over BOTH sectors
+        (in ph mode the down sector is reconstructed exactly — reference
+        observable: time-displaced Green). tau on the stabilization grid
+        ((K+1, N)) or, with ``per_slice``, at every slice ((m+1, N),
+        returned with the wrap-deviation monitor)."""
+        if per_slice:
+            G_tau, dev = self.time_displaced_greens_all(state.field)
+        else:
+            G_tau = self.time_displaced_greens(state.field)
         F = jnp.asarray(self.lat.fourier_phases())
         gk = jnp.einsum("kn,tcnm,mk->tck", F, G_tau.astype(jnp.complex64)
                         if G_tau.dtype == jnp.float32 else
                         G_tau.astype(jnp.complex128), jnp.conj(F).T)
-        return jnp.real(gk).mean(axis=1) / self.cfg.n_sites  # spin-avg
+        gk = jnp.real(gk).mean(axis=1) / self.cfg.n_sites  # spin-avg
+        if per_slice:
+            return gk, dev
+        return gk
 
     # -- setup -------------------------------------------------------------------
     def init_state(self, key: jax.Array) -> WalkerState:

@@ -37,6 +37,7 @@ the model's antiunitary symmetry (tracked anyway via phases).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -125,6 +126,12 @@ class SDWConfig:
     # emulated-f64 QR has ~90 ms latency per call); "xla" forces the
     # generic path; "pallas" forces the kernel (interpret mode off-TPU)
     green_kernel: str = "auto"
+    # fused lane-batched slice-update kernel (linalg/pallas_sdw_update):
+    # "auto" = on TPU for f32 phase-free representations (embedded
+    # opdim >= 2, or the real opdim-1 sector); "pallas" forces it
+    # (interpret mode off-TPU; requires a phase-free representation);
+    # "scan" forces the sequential lax.scan path
+    update_kernel: str = "auto"
     dtype: str = "float32"
     stab_dtype: str = "auto"
 
@@ -145,6 +152,9 @@ class SDWConfig:
         if self.spinProposalMethod != "box" and self.opdim == 1:
             raise ValueError("rotate/scale proposals need opdim >= 2 "
                              "(an Ising field has no direction to rotate)")
+        if self.update_kernel not in ("auto", "pallas", "scan"):
+            raise ValueError("update_kernel must be auto|pallas|scan, "
+                             f"got {self.update_kernel!r}")
 
     @property
     def dtau(self) -> float:
@@ -382,6 +392,35 @@ class SDWModel:
             self._green_interpret = False
         else:
             raise ValueError(f"unknown green_kernel {cfg.green_kernel!r}")
+        # fused slice-update kernel dispatch: needs a phase-free weight
+        # (the kernel does not track det phases — true for the reduced
+        # sectors and for the full matrix under the model's antiunitary
+        # symmetry, i.e. embed; the non-embedded full-complex CPU path
+        # keeps the scan)
+        phase_free = self.embed or self.reduced
+        if cfg.update_kernel == "auto":
+            self._update_pallas = (
+                jax.default_backend() == "tpu"
+                and cfg.jdtype == jnp.dtype("float32")
+                and (self.embed or cfg.opdim == 1)
+                and not cfg.turnoffFermions)
+            self._update_interpret = False
+        elif cfg.update_kernel == "pallas":
+            if not phase_free:
+                raise ValueError(
+                    "update_kernel='pallas' needs a phase-free fermion "
+                    "representation (embedded or reduced)")
+            if cfg.turnoffFermions:
+                raise ValueError("update_kernel='pallas' is a fermionic "
+                                 "update path (turnoffFermions is set)")
+            self._update_pallas = True
+            self._update_interpret = jax.default_backend() != "tpu"
+        else:
+            self._update_pallas = False
+            self._update_interpret = False
+        self._nb_tuple = tuple(map(tuple, np.asarray(
+            self.lat.neighbors(), np.int64).tolist()))
+        self._c_det = 1.0 if self.reduced else 0.5
         self._jit_cache = {}
 
     def _green(self, left: UDV, right_t: UDV) -> jax.Array:
@@ -704,6 +743,158 @@ class SDWModel:
         jac = jnp.where(alt == 0, jnp.zeros((), cfg.jdtype), jac_scale)
         return phi_new, jac
 
+    def _propose_all(self, phi_l0, rnd, box_w, alt):
+        """Vectorized _propose_site for every site of a slice at once
+        (identical formulas on the identical RNG draws; valid because
+        each site is visited exactly once per slice scan, so every
+        proposal sees the pre-scan field). -> (phi_new (N, opdim),
+        log-measure jac (N,))."""
+        cfg = self.cfg
+        if cfg.spinProposalMethod == "box":
+            (deltas,) = rnd
+            return phi_l0 + deltas, jnp.zeros((cfg.n_sites,), cfg.jdtype)
+        dirs, gs = rnd
+        tiny = 1e-30
+        r2_old = jnp.sum(phi_l0 ** 2, axis=-1)
+        r_old = jnp.sqrt(jnp.maximum(r2_old, tiny))
+        dir_new = dirs / jnp.sqrt(jnp.maximum(
+            jnp.sum(dirs ** 2, axis=-1, keepdims=True), tiny))
+        r2_new = jnp.abs(r2_old + box_w * gs)
+        r_new = jnp.sqrt(jnp.maximum(r2_new, tiny))
+        jac_scale = (0.5 * (cfg.opdim - 2)
+                     * (jnp.log(jnp.maximum(r2_new, tiny))
+                        - jnp.log(jnp.maximum(r2_old, tiny)))
+                     ).astype(cfg.jdtype)
+        if cfg.spinProposalMethod == "rotate_and_scale":
+            return r_new[:, None] * dir_new, jac_scale
+        rot = r_old[:, None] * dir_new
+        scl = phi_l0 * (r_new / r_old)[:, None]
+        phi_new = jnp.where(alt == 0, rot, scl)
+        jac = jnp.where(alt == 0, jnp.zeros_like(jac_scale), jac_scale)
+        return phi_new, jac
+
+    def _ds_static(self, phi_l0, phi_new, phi_lp, phi_lm, r):
+        """Static part of the per-site boson-action difference: the two
+        tau links, the r/u potential, and the gradient SELF terms — all
+        functions of the pre-scan field only. The live remainder is
+        -dtau * dphi_i . sum_d phi_l[nb_d] (computed in the kernel from
+        the already-updated neighbors)."""
+        cfg = self.cfg
+        dtau = cfg.dtau
+
+        def tau_t(p):
+            return (jnp.sum((p - phi_lp) ** 2, -1)
+                    + jnp.sum((p - phi_lm) ** 2, -1)) \
+                / (2.0 * cfg.c ** 2 * dtau ** 2)
+
+        p2n = jnp.sum(phi_new ** 2, -1)
+        p2o = jnp.sum(phi_l0 ** 2, -1)
+        pot = 0.5 * r * (p2n - p2o) + 0.25 * cfg.u * (p2n ** 2 - p2o ** 2)
+        grad_self = 2.0 * (p2n - p2o)
+        return dtau * (tau_t(phi_new) - tau_t(phi_l0) + grad_self + pot)
+
+    def exp_v_blocks_reim(self, phi_slice, sign=-1.0):
+        """(Re, Im) of the NATIVE-COMPLEX q x q exp(sign dtau V) blocks:
+        (N, q, q) f32 each, q = 2 (reduced sector; Im is None for
+        opdim 1) or 4 (full). Same closed form as exp_v_blocks without
+        the real embedding — the kernel chain operates on (re, im) pairs
+        directly, at half the embedded arithmetic."""
+        cfg = self.cfg
+        dt = cfg.jdtype
+        nrm = jnp.sqrt(jnp.sum(phi_slice ** 2, axis=-1))       # (N,)
+        a = cfg.dtau * cfg.lam * nrm
+        ch = jnp.cosh(a).astype(dt)
+        sh_over = jnp.where(nrm > 0,
+                            jnp.sinh(a) / jnp.maximum(nrm, 1e-30),
+                            cfg.dtau * cfg.lam)
+        s = (sign * sh_over).astype(dt)
+        if self.reduced:
+            px = phi_slice[..., 0]
+            off_re = s * px
+            z = jnp.zeros_like(ch)
+            re = jnp.stack([jnp.stack([ch, off_re], -1),
+                            jnp.stack([off_re, ch], -1)], -2)
+            if cfg.opdim == 1:
+                return re, None
+            off_im = -s * phi_slice[..., 1]       # off = s (px - i py)
+            im = jnp.stack([jnp.stack([z, off_im], -1),
+                            jnp.stack([-off_im, z], -1)], -2)
+            return re, im
+        pre, pim = self._phi_matrix_reim(phi_slice)            # (N, 2, 2)
+        sm = s[:, None, None]
+        chm = ch[:, None, None] * jnp.eye(2, dtype=dt)
+        z2 = jnp.zeros_like(pre)
+        preT = jnp.swapaxes(pre, -1, -2)
+        pimT = jnp.swapaxes(pim, -1, -2)
+        re = jnp.concatenate(
+            [jnp.concatenate([chm, sm * pre], axis=-1),
+             jnp.concatenate([sm * preT, chm], axis=-1)], axis=-2)
+        im = jnp.concatenate(
+            [jnp.concatenate([z2, sm * pim], axis=-1),
+             jnp.concatenate([-sm * pimT, z2], axis=-1)], axis=-2)
+        return re, im
+
+    def _update_slice_pallas(self, G, phi, l_1based, key, phase, box_w,
+                             r, alt):
+        """Fused-kernel variant of update_slice (same Markov chain, same
+        RNG stream): batch-precompute proposals / Delta blocks / static
+        action terms, then one lane-batched Pallas program runs the
+        whole sequential site scan (linalg/pallas_sdw_update)."""
+        from detqmc_tpu.linalg.pallas_sdw_update import slice_update_sdw
+
+        cfg = self.cfg
+        N, m = cfg.n_sites, cfg.m
+        f32 = jnp.float32
+        if r is None:
+            r = jnp.asarray(cfg.r, cfg.jdtype)
+        l_idx = l_1based - 1
+        key, u01, rnd = self._draw_proposal_randoms(key, box_w)
+        phi_lp = phi[(l_idx + 1) % m]
+        phi_lm = phi[(l_idx - 1) % m]
+        phi_l0 = phi[l_idx]
+        phi_new, jac = self._propose_all(phi_l0, rnd, box_w, alt)
+        lhs = (jnp.log(u01) - jac
+               + self._ds_static(phi_l0, phi_new, phi_lp, phi_lm, r))
+        en_re, en_im = self.exp_v_blocks_reim(phi_new, sign=-1.0)
+        eo_re, eo_im = self.exp_v_blocks_reim(phi_l0, sign=+1.0)
+        q = en_re.shape[-1]
+        eye = jnp.eye(q, dtype=en_re.dtype)
+        bmm = functools.partial(jnp.einsum, "nab,nbc->nac")
+        if en_im is None:
+            delta_re = bmm(en_re, eo_re) - eye
+            delta_im = None
+        else:
+            delta_re = bmm(en_re, eo_re) - bmm(en_im, eo_im) - eye
+            delta_im = bmm(en_re, eo_im) + bmm(en_im, eo_re)
+        # native-complex Green quadrants
+        if self.embed:
+            hh = self.dim // 2
+            gre, gim = G[:hh, :hh], G[hh:, :hh]
+        elif jnp.issubdtype(G.dtype, jnp.complexfloating):
+            gre, gim = jnp.real(G), jnp.imag(G)
+        else:
+            gre, gim = G, None
+
+        cast = lambda x: None if x is None else x.astype(f32)  # noqa: E731
+        gre_n, gim_n, phi_l_n, acc_cnt = slice_update_sdw(
+            cast(gre), cast(gim), cast(phi_l0), cast(phi_new), cast(lhs),
+            cast(delta_re), cast(delta_im),
+            nb=self._nb_tuple, dtau=cfg.dtau, c_det=self._c_det,
+            interpret=self._update_interpret)
+        if self.embed:
+            gre_n = gre_n.astype(G.dtype)
+            gim_n = gim_n.astype(G.dtype)
+            top = jnp.concatenate([gre_n, -gim_n], axis=-1)
+            bot = jnp.concatenate([gim_n, gre_n], axis=-1)
+            G = jnp.concatenate([top, bot], axis=-2)
+        elif gim_n is None:
+            G = gre_n.astype(G.dtype)
+        else:
+            G = (gre_n + 1j * gim_n).astype(G.dtype)
+        phi = phi.at[l_idx].set(phi_l_n.astype(phi.dtype))
+        acc_rate = acc_cnt.astype(cfg.jdtype) / jnp.asarray(N, cfg.jdtype)
+        return G, phi, key, phase, acc_rate
+
     def update_slice(self, G, phi, l_1based, key, phase, box_w, r=None,
                      alt=0):
         """Sequential single-site phi updates in slice l (reference:
@@ -711,6 +902,9 @@ class SDWModel:
         delayed). G: (dim, dim); phi: (m, N, opdim). ``alt`` is the sweep
         parity used by rotate_then_scale proposals. Returns updated
         (G, phi, key, phase, acc_rate)."""
+        if self._update_pallas and not self.cfg.turnoffFermions:
+            return self._update_slice_pallas(G, phi, l_1based, key,
+                                             phase, box_w, r, alt)
         if self.cfg.delay > 0 and not self.cfg.turnoffFermions:
             return self._update_slice_delayed(G, phi, l_1based, key,
                                               phase, box_w, r, alt)
@@ -1523,10 +1717,49 @@ class SDWModel:
         return green_tau_zero(left, right_t,
                               compute_dtype=self.stab_dtype_eff)
 
-    def measure_time_displaced(self, state: SDWState) -> jax.Array:
-        """Momentum-diagonal G(k, tau) on the stabilization grid,
-        averaged over the 4 physical orbitals: (K+1, N) real."""
-        G_tau = self.time_displaced_greens(state.phi)
+    def time_displaced_greens_all(self, phi):
+        """G(tau, 0) at EVERY slice tau = 0..m: (m+1, dim, dim), plus the
+        max wrap deviation against the stabilized anchors (reference:
+        the TimeDisplaced path resolves all m slices by B-wrapping
+        between stabilization points, SURVEY.md §3 "DQMC core", §9
+        "Unequal-time"; same scheme as hubbard.time_displaced_greens_all)."""
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        anchors = self.time_displaced_greens(phi)     # (K+1, dim, dim)
+        blocks_all = jax.vmap(self.exp_v_blocks)(phi)  # (m, N, q, q)
+
+        def interval(_, xs):
+            g0, g_next, blk_k = xs                    # blk_k: (s, N, q, q)
+
+            def wrap(G, j):
+                G = self.b_mult_left(blk_k[j], G)
+                return G, G
+
+            g_last, wrapped = jax.lax.scan(wrap, g0,
+                                           jnp.arange(s_int - 1))
+            g_end, _ = wrap(g_last, s_int - 1)
+            dev = jnp.abs(g_end - g_next).max()
+            out = jnp.concatenate([g0[None], wrapped], axis=0)
+            return None, (out, dev)
+
+        blk = blocks_all.reshape((K, s_int) + blocks_all.shape[1:])
+        _, (blocks, devs) = jax.lax.scan(
+            interval, None, (anchors[:K], anchors[1:], blk))
+        G_all = jnp.concatenate(
+            [blocks.reshape((K * s_int,) + anchors.shape[1:]),
+             anchors[K][None]], axis=0)
+        return G_all, devs.max()
+
+    def measure_time_displaced(self, state: SDWState,
+                               per_slice: bool = False) -> jax.Array:
+        """Momentum-diagonal G(k, tau) averaged over the 4 physical
+        orbitals: (K+1, N) real on the stabilization grid, or (m+1, N)
+        at every slice with ``per_slice`` (returned with the
+        wrap-deviation monitor)."""
+        if per_slice:
+            G_tau, dev = self.time_displaced_greens_all(state.phi)
+        else:
+            G_tau = self.time_displaced_greens(state.phi)
         Fc, Fs = self.four_cos, self.four_sin
 
         def project(G):
@@ -1545,7 +1778,10 @@ class SDWModel:
                                    precision="highest")
             return g / (4.0 * self.cfg.n_sites)
 
-        return jax.vmap(project)(G_tau)
+        gk = jax.vmap(project)(G_tau)
+        if per_slice:
+            return gk, dev
+        return gk
 
     def refresh_from_field(self, state: SDWState) -> SDWState:
         cfg = self.cfg

@@ -130,7 +130,12 @@ class ObservableHandler:
             if not self._vector[name]:
                 continue  # registered but never measured
             series = self.vector_series(name)  # (T, k)
-            nb = min(self.jk_blocks, max(2, series.shape[0] // 2))
+            if series.shape[0] < 2:
+                out[name] = (series.mean(axis=0),
+                             np.zeros(series.shape[1:]))
+                continue
+            nb = min(self.jk_blocks, max(2, series.shape[0] // 2),
+                     series.shape[0])
             blocks = statistics.rebin(series, nb)
             B = blocks.shape[0]
             mean = blocks.mean(axis=0)

@@ -100,3 +100,20 @@ def test_tail_block_sized_to_remaining():
     qmc.run()
     assert qmc.handler.n_samples() == 7
     assert qmc.measurements_done == 7
+
+
+def test_timedisplaced_per_slice_driver(tmp_path):
+    """timedisplaced_slices resolves all m+1 tau points and records the
+    wrap-deviation monitor as a scalar observable."""
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64")
+    p = DriverConfig(sweeps=4, thermalization=2, n_walkers=2, seed=7,
+                     block_meas=4, timedisplaced=True,
+                     timedisplaced_slices=True)
+    qmc = DetQMC(HubbardModel(cfg), p)
+    qmc.run()
+    vres = qmc.handler.vector_results()
+    mean, _ = vres["greenKTauVector"]
+    assert mean.shape == ((cfg.m + 1) * cfg.n_sites,)
+    res = qmc.results() if hasattr(qmc, "results") else qmc.handler.results()
+    td = qmc.handler.results()["timeDisplacedDev"]
+    assert 0.0 <= td[0] < 1e-8   # fp64 wrap drift is tiny

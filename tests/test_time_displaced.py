@@ -130,3 +130,85 @@ def test_sdw_time_displaced_cross_representation():
     # tau = 0 consistency with the equal-time G
     re, im = red._phys_green_parts(sr.G)
     assert gf.shape == (kw["m"] // kw["s"] + 1, 4)
+
+
+def test_per_slice_time_displaced_free_fermion():
+    """per-slice resolution: U=0 gives G(tau,0) = expK^tau G0 at EVERY
+    slice (not just the stabilization grid) — m+1 tau points."""
+    cfg = HubbardConfig(L=4, U=0.0, beta=2.0, m=20, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(0))
+    G_all, dev = model.time_displaced_greens_all(state.field)
+    G_all = np.asarray(G_all)
+    assert G_all.shape[0] == cfg.m + 1
+    assert float(dev) < 1e-10
+    expK = np.asarray(model.prop.expK, np.float64)
+    full = np.linalg.matrix_power(expK, cfg.m)
+    G0 = np.linalg.inv(np.eye(cfg.n_sites) + full)
+    for tau in range(cfg.m + 1):
+        expected = np.linalg.matrix_power(expK, tau) @ G0
+        np.testing.assert_allclose(G_all[tau, 0], expected, atol=1e-10,
+                                   err_msg=f"tau={tau}")
+
+
+def test_per_slice_time_displaced_vs_oracle():
+    """Fixed random field, interacting: per-slice G(tau,0) matches the
+    naive fp64 product B(tau,0) G(0) at every tau, both sectors
+    (reference: the TimeDisplaced path resolves all m slices)."""
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64",
+                        ph_symmetry="off")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(1))
+    oracle = HubbardOracle(L=2, U=4.0, beta=2.0, m=16)
+    s_field = np.asarray(state.field)
+    G_all, dev = model.time_displaced_greens_all(state.field)
+    G_all = np.asarray(G_all)
+    assert float(dev) < 1e-8
+    for comp, spin in [(0, +1), (1, -1)]:
+        full = oracle.b_chain(s_field, spin, 0, cfg.m)
+        G0 = np.linalg.inv(np.eye(cfg.n_sites) + full)
+        for tau in range(cfg.m + 1):
+            expected = oracle.b_chain(s_field, spin, 0, tau) @ G0
+            np.testing.assert_allclose(
+                G_all[tau, comp], expected, atol=1e-8,
+                err_msg=f"tau={tau} spin={spin}")
+
+
+def test_per_slice_ph_mode_matches_two_sector():
+    """ph mode per-slice: the reconstructed+wrapped down sector matches
+    the two-sector run on the same field at every slice."""
+    kw = dict(L=2, U=4.0, mu=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    m2 = HubbardModel(HubbardConfig(**kw, ph_symmetry="off"))
+    mp = HubbardModel(HubbardConfig(**kw, ph_symmetry="on"))
+    key = jax.random.key(3)
+    s2 = m2.init_state(key)
+    sp = mp.init_state(key)
+    gk2, dev2 = m2.measure_time_displaced(s2, per_slice=True)
+    gkp, devp = mp.measure_time_displaced(sp, per_slice=True)
+    assert np.asarray(gk2).shape == (kw["m"] + 1, 4)
+    np.testing.assert_allclose(np.asarray(gk2), np.asarray(gkp),
+                               atol=1e-8)
+
+
+def test_per_slice_time_displaced_sdw():
+    """SDW per-slice G(tau,0): matches the naive fp64 product
+    B(tau,0) G(0) built from the model's own B applies."""
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    cfg = SDWConfig(L=2, opdim=2, r=0.5, beta=1.0, m=8, s=2,
+                    dtype="float64")
+    model = SDWModel(cfg)
+    state = model.init_state(jax.random.key(4))
+    G_all, dev = model.time_displaced_greens_all(state.phi)
+    G_all = np.asarray(G_all)
+    assert G_all.shape[0] == cfg.m + 1
+    assert float(dev) < 1e-8
+    G = np.asarray(G_all[0])
+    for tau in range(1, cfg.m + 1):
+        blocks = model.exp_v_blocks(state.phi[tau - 1])
+        G = np.asarray(model.b_mult_left(blocks, jnp.asarray(G)))
+        np.testing.assert_allclose(G_all[tau], G, atol=1e-8,
+                                   err_msg=f"tau={tau}")
+    # the projected observable carries the per-slice axis
+    gk, dev2 = model.measure_time_displaced(state, per_slice=True)
+    assert np.asarray(gk).shape == (cfg.m + 1, cfg.n_sites)
