@@ -44,16 +44,18 @@ def make_propagators(lat: SquareLattice, t: float, dtau: float, mu: float,
                      ) -> Propagators:
     K = lat.hopping_matrix(t)
     expK, expK_inv = kinetic_exponentials(K, dtau, mu)
+    n_groups = 2 * getattr(lat, "d", 2)
     if checkerboard:
         partner = lat.checkerboard_groups()
+        n_groups = partner.shape[0]
         # chemical potential folded as a uniform diagonal factor applied
         # once per kinetic apply
         gamma = np.full(lat.n_sites, np.exp(dtau * mu))
     else:
-        partner = np.zeros((4, lat.n_sites), dtype=np.int32)
+        partner = np.zeros((n_groups, lat.n_sites), dtype=np.int32)
         gamma = np.ones(lat.n_sites)
-    c = np.cosh(dtau * t) * np.ones(4)
-    s = np.sinh(dtau * t) * np.ones(4)
+    c = np.cosh(dtau * t) * np.ones(n_groups)
+    s = np.sinh(dtau * t) * np.ones(n_groups)
     return Propagators(
         expK=jnp.asarray(expK, dtype),
         expK_inv=jnp.asarray(expK_inv, dtype),
@@ -92,7 +94,8 @@ def kinetic_mult_left(prop: Propagators, X: jax.Array, *,
     # left-apply order for E = F0 F1 F2 F3: innermost factor first (F3).
     # E^T = F3 F2 F1 F0 and E^{-1} = F3' F2' F1' F0' both start with F0-ish,
     # E^{-T} starts with F3' again: reversed order iff transpose xor inv.
-    groups = list(range(4))[::-1] if transpose == inv else list(range(4))
+    ng = prop.cb_partner.shape[0]
+    groups = list(range(ng))[::-1] if transpose == inv else list(range(ng))
     sgn = -1.0 if inv else 1.0
     out = X
     if inv:
@@ -113,9 +116,10 @@ def kinetic_mult_right(prop: Propagators, X: jax.Array, *,
         E = prop.expK_inv if inv else prop.expK
         return mm(X, E)
     # right-apply order: X E = X F0 F1 F2 F3 -> apply F0 first.
-    groups = list(range(4))
+    ng = prop.cb_partner.shape[0]
+    groups = list(range(ng))
     if transpose != inv:
-        groups = list(range(4))[::-1]
+        groups = list(range(ng))[::-1]
     sgn = -1.0 if inv else 1.0
     out = X
     if inv:

@@ -61,6 +61,7 @@ class HubbardConfig:
     """
 
     L: int = 4
+    d: int = 2                  # lattice dimension (L^d periodic)
     t: float = 1.0
     U: float = 4.0
     mu: float = 0.0
@@ -92,6 +93,8 @@ class HubbardConfig:
     def __post_init__(self):
         if self.m % self.s != 0:
             raise ValueError(f"m={self.m} must be divisible by s={self.s}")
+        if self.d not in (1, 2, 3):
+            raise ValueError(f"d must be 1, 2 or 3, got {self.d}")
         if self.checkerboard and self.L % 2 != 0:
             raise ValueError("checkerboard requires even L")
         if self.delay < 0:
@@ -103,7 +106,7 @@ class HubbardConfig:
 
     @property
     def n_sites(self) -> int:
-        return self.L * self.L
+        return self.L ** self.d
 
     @property
     def n_stack(self) -> int:
@@ -199,7 +202,8 @@ class HubbardModel:
 
     def __init__(self, cfg: HubbardConfig):
         self.cfg = cfg
-        self.lat = lattice_mod.SquareLattice(cfg.L)
+        self.lat = (lattice_mod.SquareLattice(cfg.L) if cfg.d == 2 else
+                    lattice_mod.HyperCubicLattice(cfg.L, cfg.d))
         from detqmc_tpu.precision import ensure_runtime
 
         ensure_runtime(need_x64=cfg.stab_jdtype == jnp.dtype("float64"))
@@ -216,13 +220,11 @@ class HubbardModel:
         # disp_idx[d, i] = site index of (r_i + r_d)
         N = cfg.n_sites
         s_ = np.arange(N)
-        x, y = self.lat.xy(s_)
-        dx, dy = self.lat.xy(s_)
+        c_ = self.lat.coords(s_)
         self.disp_idx = jnp.asarray(
-            self.lat.site(x[None, :] + dx[:, None], y[None, :] + dy[:, None]),
-            jnp.int32)
-        # (-1)^(x+y) staggering for the AF structure factor
-        self.stagger = jnp.asarray((-1.0) ** (x + y), dt)
+            self.lat.site_of(c_[None, :, :] + c_[:, None, :]), jnp.int32)
+        # (-1)^(sum of coords) staggering for the AF structure factor
+        self.stagger = jnp.asarray(self.lat.stagger(), dt)
         # site-update path (see HubbardConfig.update_kernel). The kernels
         # are TPU + f32 only (Mosaic has no 64-bit lowering); off-TPU a
         # forced kernel runs in interpret mode.
