@@ -38,8 +38,11 @@ N_TIMED_PAIRS = 5
 # BASELINE.json config #3: the O(3) SDW metal (detqmcsdw path). No C++
 # baseline exists for it (the reference mount is empty; the local C++
 # baseline implements the Hubbard algorithm), so its sweeps/s rides along
-# as an extra key on the single JSON line.
+# as an extra key on the single JSON line. Two sizes: L=4 (native-complex
+# chain) and the science-scale L=8 (dim 512: embedded chain + rolled
+# update kernel + checkerboard; the SDW papers run L = 8-14).
 SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
+SDW8_W = 64
 
 
 def _bench_hubbard():
@@ -78,23 +81,22 @@ def _bench_hubbard():
     return value
 
 
-def _bench_sdw_o3():
+def _bench_sdw_o3(L, W, n_timed=3, checkerboard=False):
     from detqmc_tpu.models.sdw import SDWConfig, SDWModel
 
-    cfg = SDWConfig(L=SDW_L, opdim=3, r=0.5, beta=SDW_BETA, m=SDW_M,
-                    s=SDW_S, dtype="float32")
+    cfg = SDWConfig(L=L, opdim=3, r=0.5, beta=SDW_BETA, m=SDW_M,
+                    s=SDW_S, dtype="float32", checkerboard=checkerboard)
     model = SDWModel(cfg)
-    keys = jax.random.split(jax.random.key(1), SDW_W)
+    keys = jax.random.split(jax.random.key(1), W)
     states = jax.jit(jax.vmap(model.init_state))(keys)
     step = jax.jit(jax.vmap(lambda st: model.sweep_pair(st, measure=True)))
     states, obs = jax.block_until_ready(step(states))  # compile + warmup
-    n_timed = 3
     t0 = time.perf_counter()
     for _ in range(n_timed):
         states, obs = step(states)
     jax.block_until_ready(states.G)
     dt = time.perf_counter() - t0
-    value = SDW_W * n_timed * 2 / dt
+    value = W * n_timed * 2 / dt
     dev_med = float(np.median(np.asarray(states.green_dev)))
     assert dev_med < 1e-4, f"SDW stabilization broken: green_dev={dev_med}"
     assert np.isfinite(float(np.asarray(obs.phiSquared).mean()))
@@ -103,7 +105,8 @@ def _bench_sdw_o3():
 
 def main() -> None:
     value = _bench_hubbard()
-    sdw_value = _bench_sdw_o3()
+    sdw_value = _bench_sdw_o3(SDW_L, SDW_W)
+    sdw8_value = _bench_sdw_o3(8, SDW8_W, checkerboard=True)
 
     print(json.dumps({
         "metric": f"hubbard_L{L}_beta{int(BETA)}_sweeps_per_sec_per_chip",
@@ -112,6 +115,8 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_SWEEPS_PER_SEC, 2),
         f"sdw_o3_L{SDW_L}_beta{int(SDW_BETA)}_sweeps_per_sec": round(
             sdw_value, 2),
+        f"sdw_o3_L8_beta{int(SDW_BETA)}_sweeps_per_sec": round(
+            sdw8_value, 2),
     }))
 
 

@@ -206,6 +206,10 @@ def _call_batched(innerT_hi, innerT_lo, r1, *, interpret: bool):
             in_specs=[mat(), mat(), vec()],
             out_specs=mat(),
             scratch_shapes=scratch,
+            # SDW dims reach n = 512, where even the T = 1 tile's blocks +
+            # scratch exceed the default 16 MB scoped-VMEM budget
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(innerT_hi, innerT_lo, r1)
     return out

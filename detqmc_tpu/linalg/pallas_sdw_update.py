@@ -141,8 +141,9 @@ def _det_adj4(A):
     return det, b
 
 
-def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h):
+def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll):
     it = iter(refs)
+    nb_ref = None if unroll else next(it)      # (N, 4) int32 in SMEM
     gre_in = next(it)
     gim_in = next(it) if cplx else None
     phi_in, dphi_ref, lhs_ref = next(it), next(it), next(it)
@@ -162,13 +163,13 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h):
     Ns = h // q
     dt = jnp.float32
 
-    for i in range(N):
+    def site_body(i, nb_i):
         lhs_i = lhs_ref[pl.ds(i, 1), :, :]                  # (1, 1, WL)
         dphi_i = dphi_ref[pl.ds(i, 1), :, :]                # (1, op, WL)
         # live spatial-gradient term through already-updated neighbors
-        snb = phi_ref[pl.ds(nb[i][0], 1), :, :]
+        snb = phi_ref[pl.ds(nb_i[0], 1), :, :]
         for d in range(1, 4):
-            snb = snb + phi_ref[pl.ds(nb[i][d], 1), :, :]
+            snb = snb + phi_ref[pl.ds(nb_i[d], 1), :, :]
         live = dtau * jnp.sum(dphi_i * snb, axis=1, keepdims=True)
 
         dre = dre_ref[pl.ds(i * q, q), :, :]                # (q, q, WL)
@@ -184,13 +185,22 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h):
             cre = gre[:, pl.ds(j, 1), :]                    # (h, 1, WL)
             cim = gim[:, pl.ds(j, 1), :] if cplx else None
             cols.append((cre, cim))
-        # M = 1 - G_II (scalars pulled from the loaded columns)
+        # M = 1 - G_II. Unrolled mode: static slices of the loaded
+        # columns. Rolled mode: Mosaic has no dynamic_slice on VALUES, so
+        # the scalars come straight off the G refs with pl.ds on both
+        # dims (cols were read before any write this site — same values).
         M = [[None] * q for _ in range(q)]
         for a in range(q):
             ja = a * Ns + i
             for b in range(q):
-                g_re = cols[b][0][ja:ja + 1, :, :]
-                g_im = cols[b][1][ja:ja + 1, :, :] if cplx else None
+                if isinstance(i, int):
+                    g_re = cols[b][0][ja:ja + 1, :, :]
+                    g_im = cols[b][1][ja:ja + 1, :, :] if cplx else None
+                else:
+                    jb = b * Ns + i
+                    g_re = gre[pl.ds(ja, 1), pl.ds(jb, 1), :]
+                    g_im = gim[pl.ds(ja, 1), pl.ds(jb, 1), :] \
+                        if cplx else None
                 one = 1.0 if a == b else 0.0
                 M[a][b] = (one - g_re,
                            None if g_im is None else -g_im)
@@ -257,9 +267,24 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h):
         phi_ref[pl.ds(i, 1), :, :] = phi_i + gate * dphi_i
         acc_ref[...] = acc_ref[...] + gate
 
+    if unroll:
+        # small N: static neighbor indices -> static slices everywhere
+        for i in range(N):
+            site_body(i, nb[i])
+    else:
+        # large N: one rolled loop (Mosaic compile time scales with code
+        # size; the unrolled 64-site body never finished compiling);
+        # neighbor indices come from the SMEM table
+        def loop_body(i, _):
+            site_body(i, tuple(nb_ref[i, d] for d in range(4)))
+            return ()
 
-def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, *, N, q, opdim,
-                nb, dtau, c_det, h, interpret):
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(N), loop_body, (),
+                          unroll=False)
+
+
+def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, nb_arr, *, N, q,
+                opdim, nb, dtau, c_det, h, unroll, interpret):
     cplx = gim is not None
     Gp = lhsl.shape[0] // N
 
@@ -272,6 +297,9 @@ def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, *, N, q, opdim,
     in_specs = [spec(h, h)] * (2 if cplx else 1) + [
         spec(N, opdim), spec(N, opdim), spec(N, 1), spec(N * q, q)] \
         + ([spec(N * q, q)] if cplx else [])
+    if not unroll:
+        ins = [nb_arr] + ins
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     out_shape = tuple(
         [jax.ShapeDtypeStruct((Gp * h, h, WL), jnp.float32)]
         * (2 if cplx else 1)
@@ -282,12 +310,13 @@ def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, *, N, q, opdim,
     # G quadrants + phi alias onto their outputs: halves VMEM/HBM footprint
     # (L = 8 full-opdim quadrants are 33 MB each) and skips a copy
     n_g = 2 if cplx else 1
-    aliases = {k: k for k in range(n_g)}
-    aliases[n_g] = n_g  # phi
+    off = 0 if unroll else 1   # rolled variant prepends the SMEM nb table
+    aliases = {k + off: k for k in range(n_g + 1)}  # G planes + phi
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(_kernel, N=N, q=q, opdim=opdim, nb=nb,
-                              dtau=dtau, c_det=c_det, cplx=cplx, h=h),
+                              dtau=dtau, c_det=c_det, cplx=cplx, h=h,
+                              unroll=unroll),
             grid=(Gp,),
             out_shape=out_shape,
             in_specs=in_specs,
@@ -341,9 +370,12 @@ def _make_slice_update(N, q, opdim, nb, dtau, c_det, h, cplx, interpret):
         drel = to_lanes(dre.reshape(-1, N * q, q), N * q, q)
         diml = to_lanes(dim_.reshape(-1, N * q, q), N * q, q) \
             if cplx else None
+        unroll = N <= 16
+        nb_arr = jnp.asarray(nb, jnp.int32)
         outs = _call_lanes(grel, giml, phil_l, dphil, lhsl, drel, diml,
-                           N=N, q=q, opdim=opdim, nb=nb, dtau=dtau,
-                           c_det=c_det, h=h, interpret=interpret)
+                           nb_arr, N=N, q=q, opdim=opdim, nb=nb,
+                           dtau=dtau, c_det=c_det, h=h, unroll=unroll,
+                           interpret=interpret)
 
         def from_lanes(x, rows, w):
             x = x.reshape(Gp, rows, w, WL)

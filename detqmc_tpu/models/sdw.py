@@ -109,10 +109,16 @@ class SDWConfig:
     turnoffFermions: bool = False
     # fermion-matrix representation for opdim >= 2 (complex matrices):
     # "complex" (natural; CPU), "real_embed" (rho(M) = [[Re,-Im],[Im,Re]]:
-    # 2x the dimension but pure-real linear algebra — required on TPU,
-    # whose backend lacks complex QR; the embedded determinant is |det|^2,
-    # so Metropolis ratios take a sqrt — exact because det M >= 0 by the
-    # model's antiunitary symmetry). "auto" = real_embed on TPU.
+    # 2x the dimension but pure-real linear algebra — works on TPU,
+    # whose backend lacks complex ops; the embedded determinant is
+    # |det|^2, so Metropolis ratios take a sqrt — exact because
+    # det M >= 0 by the model's antiunitary symmetry), or "native_pair":
+    # every complex matrix carried as (re, im) f32 planes with complex
+    # Pallas factorization kernels (linalg/cudv, pallas_cqr_lanes,
+    # pallas_cgreen_lanes) — HALF the embedded arithmetic through the
+    # whole chain (a real QR of rho(M) destroys the complex structure;
+    # the complex QR keeps it). "auto" = native_pair on TPU when the
+    # complex dimension fits the kernels, else real_embed.
     fermion_repr: str = "auto"
     # two-sector dimensional reduction for opdim <= 2 (reference: DetSDW's
     # matrix is 2N x 2N below opdim 3, SURVEY.md §3 "SDW model"): with
@@ -271,9 +277,26 @@ class SDWModel:
         ensure_runtime(need_x64=(jnp.dtype(cfg.stab_jdtype).kind in "cf"
                                  and jnp.dtype(cfg.stab_jdtype).itemsize
                                  >= 8))
+        # complex dimension of the reduced/full fermion matrix — decides
+        # whether the native-complex kernels (QR bound) can carry it
+        _nb = 2 if (cfg.fermion_matrix != "full" and cfg.opdim <= 2) \
+            else N_ORB
+        _cdim = _nb * cfg.n_sites
+        from detqmc_tpu.linalg.pallas_cqr_lanes import MAX_N as _CQR_MAX
+
+        self.native = False
         if cfg.fermion_repr == "auto":
-            self.embed = (cfg.opdim >= 2
-                          and jax.default_backend() == "tpu")
+            on_tpu = jax.default_backend() == "tpu"
+            self.native = (cfg.opdim >= 2 and on_tpu
+                           and cfg.jdtype == jnp.dtype("float32")
+                           and _cdim % 8 == 0 and _cdim <= _CQR_MAX)
+            self.embed = (cfg.opdim >= 2 and on_tpu and not self.native)
+        elif cfg.fermion_repr == "native_pair":
+            if cfg.opdim < 2:
+                raise ValueError("native_pair needs opdim >= 2 (opdim 1 "
+                                 "is real already)")
+            self.native = True
+            self.embed = False
         elif cfg.fermion_repr in ("complex", "real_embed"):
             self.embed = (cfg.fermion_repr == "real_embed"
                           and cfg.opdim >= 2)
@@ -292,7 +315,8 @@ class SDWModel:
         self.n_orb_base = 2 if self.reduced else N_ORB
         self.n_orb = (2 if self.embed else 1) * self.n_orb_base
         self.dim = self.n_orb * cfg.n_sites
-        self.cdtype = cfg.jdtype if self.embed else cfg.cdtype
+        self.cdtype = cfg.jdtype if (self.embed or self.native) \
+            else cfg.cdtype
         # _chain_logdet returns the model-representation log|det|; this
         # factor converts it to the PHYSICAL fermionic log-weight
         # log(det M_A det M_B) = 2 log|det M_A|:
@@ -300,11 +324,15 @@ class SDWModel:
         #   reduced:        log|det M_A|                -> x2
         #   full+embed:     2 log|det M_full|           -> x0.5
         #   full:           log|det M_full|             -> x1
+        # the native chain's _chain_logdet embeds the full-chain factor to
+        # rho (2x the complex log-det), so its factors match the embedded
+        # representation's
         if self.reduced:
-            self.logdet_fac = 1.0 if self.embed else 2.0
+            self.logdet_fac = 1.0 if (self.embed or self.native) else 2.0
         else:
-            self.logdet_fac = 0.5 if self.embed else 1.0
-        if self.embed and jnp.dtype(cfg.stab_jdtype).kind == "c":
+            self.logdet_fac = 0.5 if (self.embed or self.native) else 1.0
+        if (self.embed or self.native) \
+                and jnp.dtype(cfg.stab_jdtype).kind == "c":
             self.stab_dtype_eff = jnp.dtype(
                 "float64" if jnp.dtype(cfg.stab_jdtype).itemsize == 16
                 else "float32")
@@ -336,7 +364,7 @@ class SDWModel:
         # a complex constant to the device poisons the async stream with a
         # deferred UNIMPLEMENTED error — so the complex stack is only
         # created when the complex representation is actually in use.
-        if not self.embed and not self.reduced:
+        if not self.embed and not self.native and not self.reduced:
             self.paulis = jnp.asarray(_pauli_stack(cfg.opdim), cfg.cdtype)
         self.paulis_re = jnp.asarray(
             np.real(_pauli_stack(cfg.opdim)), cfg.jdtype)
@@ -397,14 +425,16 @@ class SDWModel:
         # sectors and for the full matrix under the model's antiunitary
         # symmetry, i.e. embed; the non-embedded full-complex CPU path
         # keeps the scan)
-        phase_free = self.embed or self.reduced
+        phase_free = self.embed or self.reduced or self.native
         if cfg.update_kernel == "auto":
             self._update_pallas = (
-                jax.default_backend() == "tpu"
-                and cfg.jdtype == jnp.dtype("float32")
-                and (self.embed or cfg.opdim == 1)
-                and not cfg.turnoffFermions)
-            self._update_interpret = False
+                (jax.default_backend() == "tpu"
+                 and cfg.jdtype == jnp.dtype("float32")
+                 and (self.embed or cfg.opdim == 1)
+                 and not cfg.turnoffFermions)
+                or (self.native and not cfg.turnoffFermions))
+            self._update_interpret = (self.native and
+                                      jax.default_backend() != "tpu")
         elif cfg.update_kernel == "pallas":
             if not phase_free:
                 raise ValueError(
@@ -418,6 +448,15 @@ class SDWModel:
         else:
             self._update_pallas = False
             self._update_interpret = False
+        if self.native and not self._update_pallas \
+                and not cfg.turnoffFermions:
+            raise ValueError(
+                "fermion_repr='native_pair' runs the fused update kernel "
+                "only (update_kernel='scan' has no pair-matrix path)")
+        if self.native:
+            # the native chain runs the complex kernels; off-TPU they
+            # interpret (CPU tests of the exact TPU program)
+            self._green_interpret = jax.default_backend() != "tpu"
         self._nb_tuple = tuple(map(tuple, np.asarray(
             self.lat.neighbors(), np.int64).tolist()))
         self._c_det = 1.0 if self.reduced else 0.5
@@ -426,6 +465,11 @@ class SDWModel:
     def _green(self, left: UDV, right_t: UDV) -> jax.Array:
         """Stabilized G from factored halves on the fastest valid path
         (same dispatch as HubbardModel._green)."""
+        if self.native:
+            from detqmc_tpu.linalg.cudv import cgreen_from_two_udv_df32
+
+            return cgreen_from_two_udv_df32(
+                left, right_t, interpret=self._green_interpret)
         if self._green_pallas:
             from detqmc_tpu.linalg.udv import green_from_two_udv_df32
 
@@ -434,6 +478,16 @@ class SDWModel:
         return green_from_two_udv(
             left, right_t, compute_dtype=self.stab_dtype_eff
         ).astype(self.cdtype)
+
+    def _refactor(self, M, d, V, compose_dtype=None) -> UDV:
+        """udv_refactor on the representation in play (complex-pair
+        matrices in native mode)."""
+        cdt = compose_dtype or self.stab_dtype_eff
+        if self.native:
+            from detqmc_tpu.linalg.cudv import cudv_refactor
+
+            return cudv_refactor(M, d, V, compose_dtype=cdt)
+        return udv_refactor(M, d, V, compose_dtype=cdt)
 
     # ---- potential factor ---------------------------------------------------
     def _embed(self, blocks: jax.Array) -> jax.Array:
@@ -462,9 +516,13 @@ class SDWModel:
 
     def exp_v_blocks(self, phi_slice: jax.Array, sign: float = -1.0
                      ) -> jax.Array:
-        """exp(sign * dtau * V(phi)) as per-site 4x4 blocks: (N, 4, 4).
+        """exp(sign * dtau * V(phi)) as per-site 4x4 blocks: (N, 4, 4)
+        (native mode: a (2, N, q, q) complex pair).
 
         Closed form via V^2 = (lam |phi|)^2 (SURVEY.md §9 "SDW model")."""
+        if self.native:
+            re, im = self.exp_v_blocks_reim(phi_slice, sign)
+            return jnp.stack([re, im])
         cfg = self.cfg
         nrm = jnp.sqrt(jnp.sum(phi_slice ** 2, axis=-1))        # (N,)
         a = cfg.dtau * cfg.lam * nrm
@@ -555,20 +613,44 @@ class SDWModel:
         return X.reshape(self.n_orb * self.cfg.n_sites, -1)
 
     def dv_mult_left(self, blocks: jax.Array, X: jax.Array) -> jax.Array:
-        """D_V @ X with D_V block-diagonal per site: blocks (N, 4, 4)."""
+        """D_V @ X with D_V block-diagonal per site: blocks (N, 4, 4)
+        (native: blocks (2, N, q, q) pair, X (2, dim, k) pair)."""
+        if self.native:
+            f = lambda b, x: self._from_orb(jnp.einsum(  # noqa: E731
+                "iab,bik->aik", b, self._as_orb(x)))
+            re = f(blocks[0], X[0]) - f(blocks[1], X[1])
+            im = f(blocks[0], X[1]) + f(blocks[1], X[0])
+            return jnp.stack([re, im])
         Xo = self._as_orb(X)                                    # (4, N, k)
         Xo = jnp.einsum("iab,bik->aik", blocks, Xo)
         return self._from_orb(Xo)
 
     def dv_mult_right(self, X: jax.Array, blocks: jax.Array) -> jax.Array:
         """X @ D_V."""
-        k = X.shape[0]
-        Xo = X.reshape(k, self.n_orb, self.cfg.n_sites)
-        Xo = jnp.einsum("kai,iab->kbi", Xo, blocks)
-        return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
+        no, N = self.n_orb, self.cfg.n_sites
+
+        def f(x, b):
+            k = x.shape[0]
+            xo = x.reshape(k, no, N)
+            return jnp.einsum("kai,iab->kbi", xo, b).reshape(k, no * N)
+
+        if self.native:
+            re = f(X[0], blocks[0]) - f(X[1], blocks[1])
+            im = f(X[1], blocks[0]) + f(X[0], blocks[1])
+            return jnp.stack([re, im])
+        return f(X, blocks)
 
     def kinetic_mult_left(self, X: jax.Array, inv=False,
                           transpose=False) -> jax.Array:
+        if self.native:
+            # the kinetic factor is REAL: it applies to each plane
+            # independently (conjugation lives in the D_V blocks)
+            return jnp.stack([
+                self._kinetic_plane_left(X[0], inv, transpose),
+                self._kinetic_plane_left(X[1], inv, transpose)])
+        return self._kinetic_plane_left(X, inv, transpose)
+
+    def _kinetic_plane_left(self, X, inv=False, transpose=False):
         if self.cfg.checkerboard:
             return self._kinetic_cb_left(X, inv, transpose)
         E = self.expK_inv if inv else self.expK
@@ -578,6 +660,12 @@ class SDWModel:
         return self._from_orb(jnp.einsum("onm,omk->onk", E, Xo))
 
     def kinetic_mult_right(self, X: jax.Array, inv=False) -> jax.Array:
+        if self.native:
+            return jnp.stack([self._kinetic_plane_right(X[0], inv),
+                              self._kinetic_plane_right(X[1], inv)])
+        return self._kinetic_plane_right(X, inv)
+
+    def _kinetic_plane_right(self, X, inv=False):
         if self.cfg.checkerboard:
             return self._kinetic_cb_right(X, inv)
         E = self.expK_inv if inv else self.expK
@@ -636,7 +724,12 @@ class SDWModel:
 
     def bT_mult_left(self, blocks, X):
         """B^H @ X = expK^H (D_V^H X) for the transposed right stack."""
-        blocksH = jnp.conj(jnp.swapaxes(blocks, -1, -2))
+        if self.native:
+            blocksH = jnp.stack(
+                [jnp.swapaxes(blocks[0], -1, -2),
+                 -jnp.swapaxes(blocks[1], -1, -2)])
+        else:
+            blocksH = jnp.conj(jnp.swapaxes(blocks, -1, -2))
         return self.kinetic_mult_left(self.dv_mult_left(blocksH, X),
                                       transpose=True)
 
@@ -867,7 +960,9 @@ class SDWModel:
             delta_re = bmm(en_re, eo_re) - bmm(en_im, eo_im) - eye
             delta_im = bmm(en_re, eo_im) + bmm(en_im, eo_re)
         # native-complex Green quadrants
-        if self.embed:
+        if self.native:
+            gre, gim = G[0], G[1]
+        elif self.embed:
             hh = self.dim // 2
             gre, gim = G[:hh, :hh], G[hh:, :hh]
         elif jnp.issubdtype(G.dtype, jnp.complexfloating):
@@ -881,7 +976,9 @@ class SDWModel:
             cast(delta_re), cast(delta_im),
             nb=self._nb_tuple, dtau=cfg.dtau, c_det=self._c_det,
             interpret=self._update_interpret)
-        if self.embed:
+        if self.native:
+            G = jnp.stack([gre_n, gim_n]).astype(G.dtype)
+        elif self.embed:
             gre_n = gre_n.astype(G.dtype)
             gim_n = gim_n.astype(G.dtype)
             top = jnp.concatenate([gre_n, -gim_n], axis=-1)
@@ -1132,8 +1229,12 @@ class SDWModel:
         cfg = self.cfg
         N = cfg.n_sites
         nb_ = self.n_orb_base
-        if self.embed:
-            h = self.dim // 2
+        if self.native and G.ndim == 3 and G.shape[0] == 2:
+            gre, gim = G[0], G[1]
+        elif self.embed or (self.native and G.ndim == 2):
+            # embedded rho matrix (native mode sees these from the
+            # time-displaced rho-fallback path)
+            h = G.shape[-1] // 2
             gre, gim = G[:h, :h], G[h:, :h]
         elif jnp.issubdtype(G.dtype, jnp.complexfloating):
             gre, gim = jnp.real(G).astype(cfg.jdtype), \
@@ -1253,9 +1354,11 @@ class SDWModel:
         # contributes identically to every real trace -> x2
         tr_fac = 2.0 if self.embed else 1.0
         sector = 2.0 if self.reduced else 1.0
-        occ = (N_ORB - sector * jnp.real(jnp.trace(G)) / (tr_fac * N))
+        # native pairs carry Re/Im planes; every physical trace is real
+        G_re = G[0] if self.native else G
+        occ = (N_ORB - sector * jnp.real(jnp.trace(G_re)) / (tr_fac * N))
         # kinetic: sum_o tr(K_o G_o) with G_o the (N,N) diagonal block
-        Gorb = G.reshape(self.n_orb, N, self.n_orb, N)
+        Gorb = G_re.reshape(self.n_orb, N, self.n_orb, N)
         e_kin = -sector * jnp.real(sum(
             jnp.sum(self.K_orb[o].T * Gorb[o, :, o, :])
             for o in range(self.n_orb))) / (tr_fac * N)
@@ -1320,7 +1423,7 @@ class SDWModel:
                 slice_step, (G, lazy_U, phi, key, phase, acc_sum),
                 jnp.arange(s_int))
 
-            f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
+            f_new = self._refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
             other = UDV(entry_U, entry_d, entry_V)
             if up:
                 G_stab = self._green(f_new, other)
@@ -1404,12 +1507,12 @@ class SDWModel:
         for j in range(1, l + 1):
             M = self.b_mult_left(self.exp_v_blocks(phi[j - 1]),
                                  left.U.astype(self.cdtype))
-            left = udv_refactor(M, left.d, left.V, compose_dtype=sdt)
+            left = self._refactor(M, left.d, left.V, compose_dtype=sdt)
         right = self._eye_mixed()
         for j in range(cfg.m, l, -1):
             M = self.bT_mult_left(self.exp_v_blocks(phi[j - 1]),
                                   right.U.astype(self.cdtype))
-            right = udv_refactor(M, right.d, right.V, compose_dtype=sdt)
+            right = self._refactor(M, right.d, right.V, compose_dtype=sdt)
         return self._green(left, right)
 
     def sweep_simple(self, state: SDWState, measure: bool = False):
@@ -1615,10 +1718,17 @@ class SDWModel:
                 or self.cfg.wolffClusterShiftUpdate)
 
     def _chain_logdet(self, phi):
-        """log|det(1 + B_m...B_1)| via the factored chain."""
+        """log|det(1 + B_m...B_1)| via the factored chain. Native mode
+        embeds the single full-chain factor to rho (the rho log-det is
+        2x the complex one; logdet_fac accounts for it) — global moves
+        are rare, so the 2x there is irrelevant."""
         from detqmc_tpu.linalg.udv import log_det_one_plus_udv
         stack = self._build_right_stack(phi)
         full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
+        if self.native:
+            from detqmc_tpu.linalg.cudv import embed_udv
+
+            full_t = embed_udv(full_t)
         return log_det_one_plus_udv(UDV(
             full_t.U, full_t.d, full_t.V.astype(full_t.U.dtype)))
 
@@ -1640,9 +1750,13 @@ class SDWModel:
     def _eye_mixed(self):
         cfg = self.cfg
         dim, cdt, sdt = self.dim, self.cdtype, self.stab_dtype_eff
+        d = jnp.ones((dim,), jnp.finfo(sdt).dtype)
+        if self.native:
+            from detqmc_tpu.linalg.cudv import cpx_eye
+
+            return UDV(cpx_eye(dim, cdt), d, cpx_eye(dim, sdt))
         eye_c = jnp.eye(dim, dtype=cdt)
         eye_s = jnp.eye(dim, dtype=sdt)
-        d = jnp.ones((dim,), jnp.finfo(sdt).dtype)
         return UDV(eye_c, d, eye_s)
 
     def _build_right_stack(self, phi):
@@ -1662,8 +1776,8 @@ class SDWModel:
 
             lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(self.cdtype),
                                      jnp.arange(s_int))
-            f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
-                                 compose_dtype=sdt)
+            f_new = self._refactor(lazy_U, f_carry.d, f_carry.V,
+                                   compose_dtype=sdt)
             return f_new, f_new
 
         _, emitted = jax.lax.scan(build_interval, eye_f,
@@ -1693,8 +1807,8 @@ class SDWModel:
 
             lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(self.cdtype),
                                      jnp.arange(s_int))
-            f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
-                                 compose_dtype=sdt)
+            f_new = self._refactor(lazy_U, f_carry.d, f_carry.V,
+                                   compose_dtype=sdt)
             return f_new, f_new
 
         _, emitted = jax.lax.scan(build_interval, eye_f,
@@ -1714,6 +1828,17 @@ class SDWModel:
 
         left = self._build_left_stack(phi)
         right_t = self._build_right_stack(phi)
+        if self.native:
+            # occasional measurement path: run the generic rho-embedded
+            # formula, return pair matrices (the rho output of a
+            # rho-structured problem is exactly rho-structured)
+            from detqmc_tpu.linalg.cudv import embed_udv
+
+            G = green_tau_zero(embed_udv(left), embed_udv(right_t),
+                               compute_dtype=self.stab_dtype_eff)
+            d_ = self.dim
+            return jnp.stack([G[..., :d_, :d_], G[..., d_:, :d_]],
+                             axis=-3).astype(self.cfg.jdtype)
         return green_tau_zero(left, right_t,
                               compute_dtype=self.stab_dtype_eff)
 
@@ -1800,12 +1925,13 @@ class SDWModel:
         dim, cdt, sdt = self.dim, self.cdtype, self.stab_dtype_eff
         K = cfg.n_stack
         rdt = jnp.finfo(sdt).dtype
+        mshape = (2, dim, dim) if self.native else (dim, dim)
         state0 = SDWState(
             phi=phi,
-            G=jnp.zeros((dim, dim), cdt),
-            stack_U=jnp.zeros((K + 1, dim, dim), cdt),
+            G=jnp.zeros(mshape, cdt),
+            stack_U=jnp.zeros((K + 1, *mshape), cdt),
             stack_d=jnp.zeros((K + 1, dim), rdt),
-            stack_V=jnp.zeros((K + 1, dim, dim), sdt),
+            stack_V=jnp.zeros((K + 1, *mshape), sdt),
             key=key,
             phase=jnp.ones((), cdt),
             box_width=jnp.asarray(cfg.box_width, cfg.jdtype),
