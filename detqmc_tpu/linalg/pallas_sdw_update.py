@@ -141,7 +141,7 @@ def _det_adj4(A):
     return det, b
 
 
-def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll):
+def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll, big):
     it = iter(refs)
     nb_ref = None if unroll else next(it)      # (N, 4) int32 in SMEM
     gre_in = next(it)
@@ -149,14 +149,35 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll):
     phi_in, dphi_ref, lhs_ref = next(it), next(it), next(it)
     dre_ref = next(it)
     dim_ref = next(it) if cplx else None
-    gre = next(it)
-    gim = next(it) if cplx else None
+    gre_out = next(it)
+    gim_out = next(it) if cplx else None
     phi_ref = next(it)
     acc_ref = next(it)
-
-    gre[...] = gre_in[...]
-    if cplx:
-        gim[...] = gim_in[...]
+    if big:
+        # large h: the (h, h, WL) G planes stay in HBM (ANY) and are
+        # DMA'd into scratch once per grid step — VMEM block specs would
+        # double-buffer ~4x h^2*WL*4B past the 128 MB chip budget
+        n_g = 2 if cplx else 1
+        bufs = [next(it) for _ in range(n_g)]
+        sems = [next(it) for _ in range(n_g)]
+        gre = bufs[0]
+        gim = bufs[1] if cplx else None
+        g = pl.program_id(0)
+        dma_r = pltpu.make_async_copy(
+            gre_in.at[pl.ds(g * h, h)], gre, sems[0])
+        dma_r.start()
+        if cplx:
+            dma_i = pltpu.make_async_copy(
+                gim_in.at[pl.ds(g * h, h)], gim, sems[1])
+            dma_i.start()
+            dma_i.wait()
+        dma_r.wait()
+    else:
+        gre = gre_out
+        gim = gim_out
+        gre[...] = gre_in[...]
+        if cplx:
+            gim[...] = gim_in[...]
     phi_ref[...] = phi_in[...]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
@@ -282,6 +303,17 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll):
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(N), loop_body, (),
                           unroll=False)
 
+    if big:
+        dma_r = pltpu.make_async_copy(
+            gre, gre_out.at[pl.ds(g * h, h)], sems[0])
+        dma_r.start()
+        if cplx:
+            dma_i = pltpu.make_async_copy(
+                gim, gim_out.at[pl.ds(g * h, h)], sems[1])
+            dma_i.start()
+            dma_i.wait()
+        dma_r.wait()
+
 
 def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, nb_arr, *, N, q,
                 opdim, nb, dtau, c_det, h, unroll, interpret):
@@ -292,9 +324,13 @@ def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, nb_arr, *, N, q,
         return pl.BlockSpec((rows, w, WL), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    big = h > 128
+    n_g = 2 if cplx else 1
+    g_spec = (pl.BlockSpec(memory_space=pl.ANY) if big
+              else spec(h, h))
     ins = [gre] + ([gim] if cplx else []) + [phil, dphil, lhsl, drel] \
         + ([diml] if cplx else [])
-    in_specs = [spec(h, h)] * (2 if cplx else 1) + [
+    in_specs = [g_spec] * n_g + [
         spec(N, opdim), spec(N, opdim), spec(N, 1), spec(N * q, q)] \
         + ([spec(N * q, q)] if cplx else [])
     if not unroll:
@@ -305,25 +341,28 @@ def _call_lanes(gre, gim, phil, dphil, lhsl, drel, diml, nb_arr, *, N, q,
         * (2 if cplx else 1)
         + [jax.ShapeDtypeStruct((Gp * N, opdim, WL), jnp.float32),
            jax.ShapeDtypeStruct((Gp, 1, WL), jnp.float32)])
-    out_specs = tuple([spec(h, h)] * (2 if cplx else 1)
-                      + [spec(N, opdim), spec(1, 1)])
+    out_specs = tuple([g_spec] * n_g + [spec(N, opdim), spec(1, 1)])
     # G quadrants + phi alias onto their outputs: halves VMEM/HBM footprint
     # (L = 8 full-opdim quadrants are 33 MB each) and skips a copy
-    n_g = 2 if cplx else 1
     off = 0 if unroll else 1   # rolled variant prepends the SMEM nb table
     aliases = {k + off: k for k in range(n_g + 1)}  # G planes + phi
+    scratch = []
+    if big:
+        scratch = ([pltpu.VMEM((h, h, WL), jnp.float32)] * n_g
+                   + [pltpu.SemaphoreType.DMA] * n_g)
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             functools.partial(_kernel, N=N, q=q, opdim=opdim, nb=nb,
                               dtau=dtau, c_det=c_det, cplx=cplx, h=h,
-                              unroll=unroll),
+                              unroll=unroll, big=big),
             grid=(Gp,),
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=out_specs,
             input_output_aliases=aliases,
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=(120 if big else 100) * 1024 * 1024),
             interpret=interpret,
         )(*ins)
     return outs
