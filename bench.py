@@ -38,9 +38,10 @@ N_TIMED_PAIRS = 5
 # BASELINE.json config #3: the O(3) SDW metal (detqmcsdw path). No C++
 # baseline exists for it (the reference mount is empty; the local C++
 # baseline implements the Hubbard algorithm), so its sweeps/s rides along
-# as an extra key on the single JSON line. Two sizes: L=4 (native-complex
-# chain) and the science-scale L=8 (dim 512: embedded chain + rolled
-# update kernel + checkerboard; the SDW papers run L = 8-14).
+# as an extra key on the single JSON line. Two sizes: L=4 and the
+# science-scale L=8 (complex dim 256; the SDW papers run L = 8-14) —
+# both on the native-complex chain (complex QR + complex df32 green
+# kernels, rolled/chunked fused update kernel, L=8 adds checkerboard).
 SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
 SDW8_W = 64
 

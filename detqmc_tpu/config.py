@@ -95,6 +95,7 @@ _DRIVER_KEYS = {
     "blockMeas": int,
     "meshDevices": int,
     "timedisplaced": _to_bool,
+    "timedisplacedSlices": _to_bool,
 }
 
 _DRIVER_FIELD = {
@@ -111,13 +112,14 @@ _DRIVER_FIELD = {
     "blockMeas": "block_meas",
     "meshDevices": "mesh_devices",
     "timedisplaced": "timedisplaced",
+    "timedisplacedSlices": "timedisplaced_slices",
 }
 
 _HUBBARD_KEYS = {
-    "L": int, "t": float, "U": float, "mu": float,
+    "L": int, "d": int, "t": float, "U": float, "mu": float,
     "beta": float, "m": int, "dtau": float, "s": int,
     "checkerboard": _to_bool, "updateMethod": str, "delay": int,
-    "dtype": str,
+    "dtype": str, "updateKernel": str, "greenKernel": str,
 }
 
 _SDW_KEYS = {
@@ -132,6 +134,7 @@ _SDW_KEYS = {
     "globalUpdateInterval": int, "turnoffFermions": _to_bool,
     "boxLength": float, "accRatio": float,
     "spinProposalMethod": str,
+    "fermionRepr": str, "updateKernel": str, "greenKernel": str,
 }
 
 _PT_KEYS = {
@@ -229,6 +232,10 @@ def build_hubbard_config(model_params: Dict[str, str]):
             f"updateMethod must be iterative|delayed, got {upd!r}")
     if upd == "iterative":
         delay = 0
+    for conf_key, field in (("updateKernel", "update_kernel"),
+                            ("greenKernel", "green_kernel")):
+        if conf_key in typed:
+            typed[field] = typed.pop(conf_key)
     try:
         return HubbardConfig(beta=beta, m=m, delay=delay, **typed)
     except ValueError as e:
@@ -260,6 +267,11 @@ def build_sdw_config(model_params: Dict[str, str]):
         typed["delay"] = 0
     elif "delay" not in typed:
         typed["delay"] = 16  # reference-style default delaySteps
+    for conf_key, field in (("fermionRepr", "fermion_repr"),
+                            ("updateKernel", "update_kernel"),
+                            ("greenKernel", "green_kernel")):
+        if conf_key in typed:
+            typed[field] = typed.pop(conf_key)
     try:
         return SDWConfig(beta=beta, m=m, **typed)
     except (TypeError, ValueError) as e:

@@ -8,11 +8,13 @@ halves every matmul/QR/solve op count and keeps the complex structure
 through the factorizations (a real QR of rho(M) destroys it).
 
 Dispatch: the f32 QR goes to the lane-batched complex kernel
-(pallas_cqr_lanes) on TPU, jnp complex QR elsewhere; the ill-conditioned
-green inner solve goes to the complex df32 kernel (pallas_cgreen_lanes)
-up to its VMEM bound, falling back to the REAL df32 solver on the rho
-embedding of just the inner matrix above it (correct at any size — only
-the solve pays the 2x there).
+(pallas_cqr_lanes) on TPU up to its VMEM bound and to the column-lane
+kernel (pallas_cqr) above it, jnp complex QR off-TPU; the
+ill-conditioned green inner solve goes to the complex df32 kernels
+(pallas_cgreen_lanes / pallas_cgreen, same split). Only non-8-multiple
+dims fall back to the REAL df32 solver on the rho embedding of the
+inner matrix (correct at any size — the solve pays the embedded 2x
+there).
 """
 
 from __future__ import annotations
@@ -44,9 +46,11 @@ def cudv_decompose(A) -> UDV:
         if n <= MAX_N:
             Q, R = cqr_lanes(A)
         else:
-            raise NotImplementedError(
-                f"native-complex QR needs n <= {MAX_N} on TPU (got {n}); "
-                "use the embedded representation at this size")
+            # science-scale dims (complex 256+): column-lane layout whose
+            # VMEM footprint scales with the batch tile, not n^2 * 128
+            from detqmc_tpu.linalg.pallas_cqr import cqr_big
+
+            Q, R = cqr_big(A)
     else:
         cdt = jnp.complex64 if A.dtype == jnp.float32 else jnp.complex128
         Ac = (A[..., 0, :, :] + 1j * A[..., 1, :, :]).astype(cdt)
@@ -123,11 +127,19 @@ def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
     from detqmc_tpu.linalg.pallas_cgreen_lanes import (MAX_N,
                                                       solve_inner_complex)
 
-    if n <= MAX_N and n % 8 == 0:
+    if n % 8 == 0:
         rh, rl = df32.from_f64(inner[..., 0, :, :])
         ih, il = df32.from_f64(inner[..., 1, :, :])
-        mid = solve_inner_complex(rh, rl, ih, il, r1max,
-                                  interpret=interpret)
+        if n <= MAX_N:
+            mid = solve_inner_complex(rh, rl, ih, il, r1max,
+                                      interpret=interpret)
+        else:
+            # column-lane complex kernel: half the rho-embedded op count
+            from detqmc_tpu.linalg.pallas_cgreen import (
+                solve_inner_complex_big)
+
+            mid = solve_inner_complex_big(rh, rl, ih, il, r1max,
+                                          interpret=interpret)
     else:
         # rho fallback: only the solve pays the embedded 2x
         from detqmc_tpu.linalg.pallas_green import solve_inner
@@ -139,6 +151,67 @@ def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
         mid = jnp.moveaxis(cpx.from_rho(mid_rho), 0, -3)
     return cpx_mm_last(_scale_cols_pair(U2, r2max),
                        cpx_mm_last(mid, cpx_conjT(U1)))
+
+
+def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
+                         interpret: bool = False):
+    """Stable time-displaced G(tau, 0) = B(tau,0) [1 + B(beta,0)]^{-1}
+    for the complex pair chain — the native twin of udv.green_tau_zero:
+
+        G(tau,0) = U2 d2max^{-1} inner^{-1} (d1min V1)
+
+    with `inner` EXACTLY the range-split matrix of the equal-time pair
+    formula; only the right-hand side (dense: d1min V1 instead of
+    diag(1/d1max)) and the outer factors differ. The solve runs in the
+    complex df32 kernels' general-RHS variant, so the native chain's
+    unequal-time measurements never pay the rho embedding's (2n)^3.
+    (Reference parity: time-displaced Green support, SURVEY.md §3 "DQMC
+    core", §9 "Unequal-time".)"""
+    f64, f32 = jnp.float64, jnp.float32
+    U1 = left.U.astype(f32)
+    U2 = right_t.U.astype(f32)
+    d1 = left.d.astype(f64)
+    d2 = right_t.d.astype(f64)
+    d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
+    d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
+    UhU = cpx_mm_last(cpx_conjT(U1), U2).astype(f64)
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    VVh = cpx_mm_last(left.V.astype(f64),
+                      cpx_conjT(right_t.V.astype(f64)), mm_fn=mm_f64)
+    inner = (_scale_cols_pair(_scale_rows_pair(1.0 / d1max, UhU),
+                              1.0 / d2max)
+             + _scale_cols_pair(_scale_rows_pair(d1min, VVh), d2min))
+    rhs = _scale_rows_pair(d1min, left.V.astype(f64))
+    r2max = (1.0 / d2max).astype(f32)
+    n = inner.shape[-1]
+    if n % 8 == 0:
+        ip = (df32.from_f64(inner[..., 0, :, :])
+              + df32.from_f64(inner[..., 1, :, :]))
+        rp = (df32.from_f64(rhs[..., 0, :, :])
+              + df32.from_f64(rhs[..., 1, :, :]))
+        inner_planes = (ip[0], ip[1], ip[2], ip[3])
+        rhs_planes = (rp[0], rp[1], rp[2], rp[3])
+        from detqmc_tpu.linalg.pallas_cgreen import (
+            solve_inner_complex_big_rhs)
+        from detqmc_tpu.linalg.pallas_cgreen_lanes import (
+            MAX_N, solve_inner_complex_rhs)
+
+        if n <= MAX_N:
+            mid = solve_inner_complex_rhs(inner_planes, rhs_planes,
+                                          interpret=interpret)
+        else:
+            mid = solve_inner_complex_big_rhs(inner_planes, rhs_planes,
+                                              interpret=interpret)
+    else:
+        # rho fallback (non-8-multiple dims): embedded f64 solve
+        from detqmc_tpu.linalg.udv import green_tau_zero
+
+        G_rho = green_tau_zero(embed_udv(left), embed_udv(right_t),
+                               compute_dtype=f64)
+        return jnp.stack([G_rho[..., :n, :n], G_rho[..., n:, :n]],
+                         axis=-3).astype(f32)
+    return cpx_mm_last(_scale_cols_pair(U2, r2max), mid)
 
 
 def cpx_conjT(A):

@@ -42,9 +42,16 @@ from detqmc_tpu.linalg import df32
 
 
 def _pow2_above(x, tiny):
-    """Smallest power of two >= x (elementwise), clamped away from 0."""
+    """Smallest power of two >= x (elementwise), clamped away from 0.
+
+    The exponent is clipped to the f32-representable range: the TPU's
+    emulated-f64 exp2 bottoms out at 2^-126 (measured: exp2(-300) == 0),
+    so an unclamped scale for an all-zero row/column (e.g. the imaginary
+    plane of an identity pair matrix) NaN-poisons the whole product.
+    Rows with |max| in [2^-126, 2^127] — everything the stabilized chain
+    produces — are normalized exactly as before."""
     e = jnp.ceil(jnp.log2(jnp.maximum(x, tiny)))
-    return jnp.exp2(e)
+    return jnp.exp2(jnp.clip(e, -126.0, 127.0))
 
 
 def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
@@ -64,7 +71,7 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
             "emulated-f64 path")
     s = min(8, (24 - max(1, math.ceil(math.log2(max(k, 2))))) // 2)
     L = limbs if limbs is not None else -(-48 // s)
-    tiny = jnp.float64(2.0 ** -960)
+    tiny = jnp.float64(2.0 ** -126)
 
     sa = _pow2_above(jnp.max(jnp.abs(A), axis=-1, keepdims=True), tiny)
     sb = _pow2_above(jnp.max(jnp.abs(B), axis=-2, keepdims=True), tiny)

@@ -49,22 +49,37 @@ def _chs(a, b):
     return re, im
 
 
-def _kernel(Arh_hbm, Arl_hbm, Aih_hbm, Ail_hbm, r1_ref,
-            outr_ref, outi_ref, Brh, Brl, Bih, Bil, Mrl, Mil, Mrh2, Mih2,
-            arh, arl, aih, ail, sem0, sem1, sem2, sem3, *, n: int):
+def _kernel(*refs, n: int, has_rhs: bool):
+    """QR + solve with M initialized from diag(r1) (has_rhs=False) or a
+    dense complex df32 RHS DMA'd from HBM (has_rhs=True — the
+    time-displaced G path, where the RHS is d1min V1)."""
+    it = iter(refs)
+    A_hbm = [next(it) for _ in range(4)]
+    R_hbm = [next(it) for _ in range(4)] if has_rhs else None
+    r1_ref = None if has_rhs else next(it)
+    outr_ref, outi_ref = next(it), next(it)
+    Brh, Brl, Bih, Bil = (next(it) for _ in range(4))
+    Mrl, Mil, Mrh2, Mih2 = (next(it) for _ in range(4))
+    arh, arl, aih, ail = (next(it) for _ in range(4))
+    sems = [next(it) for _ in range(8 if has_rhs else 4)]
     f32 = outr_ref.dtype
     g = pl.program_id(0)
+    dsts = [Brh, Brl, Bih, Bil]
+    srcs = list(A_hbm)
+    if has_rhs:
+        srcs += R_hbm
+        dsts += [Mrh2, Mrl, Mih2, Mil]
     dmas = [pltpu.make_async_copy(src.at[pl.ds(g * n, n)], dst, sem)
-            for src, dst, sem in ((Arh_hbm, Brh, sem0), (Arl_hbm, Brl, sem1),
-                                  (Aih_hbm, Bih, sem2), (Ail_hbm, Bil, sem3))]
+            for src, dst, sem in zip(srcs, dsts, sems)]
     for d in dmas:
         d.start()
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    Mrh2[...] = (rows2 == cols2).astype(f32) * r1_ref[...]
-    Mrl[...] = jnp.zeros_like(Mrl)
-    Mih2[...] = jnp.zeros_like(Mih2)
-    Mil[...] = jnp.zeros_like(Mil)
+    if not has_rhs:
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+        Mrh2[...] = (rows2 == cols2).astype(f32) * r1_ref[...]
+        Mrl[...] = jnp.zeros_like(Mrl)
+        Mih2[...] = jnp.zeros_like(Mih2)
+        Mil[...] = jnp.zeros_like(Mil)
     for r in (arh, arl, aih, ail):
         r[...] = jnp.zeros_like(r)
     for d in dmas:
@@ -180,30 +195,35 @@ def _kernel(Arh_hbm, Arl_hbm, Aih_hbm, Ail_hbm, r1_ref,
     outi_ref[...] = Mih[...] + Mil[...]
 
 
-def _call_lanes(planes, r1, *, interpret: bool):
+def _call_lanes(planes, r1, *, interpret: bool, rhs_planes=None):
     Gn, n, _ = planes[0].shape
     G = Gn // n
+    has_rhs = rhs_planes is not None
     mat = functools.partial(pl.BlockSpec, (n, n, WL),
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     vec = functools.partial(pl.BlockSpec, (n, 1, WL),
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     hbm = functools.partial(pl.BlockSpec, memory_space=pl.ANY)
     shp = jax.ShapeDtypeStruct((Gn, n, WL), jnp.float32)
+    n_dma = 8 if has_rhs else 4
     scratch = ([pltpu.VMEM((n, n, WL), jnp.float32) for _ in range(8)]
                + [pltpu.VMEM((n, 1, WL), jnp.float32) for _ in range(4)]
-               + [pltpu.SemaphoreType.DMA] * 4)
+               + [pltpu.SemaphoreType.DMA] * n_dma)
+    ins = (list(planes) + list(rhs_planes)) if has_rhs \
+        else list(planes) + [r1]
+    in_specs = [hbm()] * 8 if has_rhs else [hbm()] * 4 + [vec()]
     with jax.enable_x64(False):
         outr, outi = pl.pallas_call(
-            functools.partial(_kernel, n=n),
+            functools.partial(_kernel, n=n, has_rhs=has_rhs),
             grid=(G,),
             out_shape=(shp, shp),
-            in_specs=[hbm()] * 4 + [vec()],
+            in_specs=in_specs,
             out_specs=(mat(), mat()),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(*planes, r1)
+        )(*ins)
     return outr, outi
 
 
@@ -267,4 +287,72 @@ def solve_inner_complex(inner_rh, inner_rl, inner_ih, inner_il, r1, *,
         inner_rh.reshape(-1, n, n), inner_rl.reshape(-1, n, n),
         inner_ih.reshape(-1, n, n), inner_il.reshape(-1, n, n),
         r1.reshape(-1, n))
+    return out.reshape(*lead, 2, n, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_solve_rhs(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def solve(inner_rh, inner_rl, inner_ih, inner_il,
+              rhs_rh, rhs_rl, rhs_ih, rhs_il):
+        Bt, n, _ = inner_rh.shape
+        G = -(-Bt // WL)
+        pad = G * WL - Bt
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32),
+                                   (pad, n, n))
+            z = jnp.zeros((pad, n, n), jnp.float32)
+            padded = []
+            for a, fill in ((inner_rh, eye), (inner_rl, z),
+                            (inner_ih, z), (inner_il, z),
+                            (rhs_rh, z), (rhs_rl, z),
+                            (rhs_ih, z), (rhs_il, z)):
+                padded.append(jnp.concatenate([a, fill], axis=0))
+            (inner_rh, inner_rl, inner_ih, inner_il,
+             rhs_rh, rhs_rl, rhs_ih, rhs_il) = padded
+
+        def to_lanes(x):
+            x = x.reshape(G, WL, n, n)
+            return jnp.transpose(x, (0, 2, 3, 1)).reshape(G * n, n, WL)
+
+        planes = tuple(to_lanes(p) for p in
+                       (inner_rh, inner_rl, inner_ih, inner_il))
+        rhs = tuple(to_lanes(p) for p in
+                    (rhs_rh, rhs_rl, rhs_ih, rhs_il))
+        outr, outi = _call_lanes(planes, None, interpret=interpret,
+                                 rhs_planes=rhs)
+
+        def from_lanes(x):
+            x = x.reshape(G, n, n, WL)
+            return jnp.transpose(x, (0, 3, 1, 2)).reshape(G * WL, n, n)
+
+        return jnp.stack([from_lanes(outr), from_lanes(outi)],
+                         axis=1)[:Bt]
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size, *x.shape))
+
+        args = [bcast(x, b) for x, b in zip(args, in_batched)]
+        lead = args[0].shape[:-2]
+        n = args[0].shape[-1]
+        out = solve(*[a.reshape(-1, *a.shape[len(lead):]) for a in args])
+        return out.reshape(*lead, 2, n, n), True
+
+    return solve
+
+
+def solve_inner_complex_rhs(inner_planes, rhs_planes, *,
+                            interpret: bool = False):
+    """X = inner^{-1} RHS for complex df32 inner and RHS, each given as
+    four (..., n, n) f32 planes (re_hi, re_lo, im_hi, im_lo). Returns
+    (..., 2, n, n) pair matrices. Used by the time-displaced Green path,
+    where RHS = d1min V1 is dense (reference: time-displaced G support,
+    SURVEY.md §3 "DQMC core" / §9 "Unequal-time")."""
+    lead = inner_planes[0].shape[:-2]
+    n = inner_planes[0].shape[-1]
+    flat = [p.reshape(-1, n, n) for p in (*inner_planes, *rhs_planes)]
+    out = _make_solve_rhs(interpret)(*flat)
     return out.reshape(*lead, 2, n, n)

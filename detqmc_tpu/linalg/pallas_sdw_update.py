@@ -269,20 +269,39 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll, big):
             rre = one - gre[pl.ds(jb, 1), :, :]
             rim = -gim[pl.ds(jb, 1), :, :] if cplx else None
             rows.append((rre, rim))
-        # G -= sum_b (sum_a col_a T[a][b]) (x) row_b
-        upd_re = None
-        upd_im = None
+        # G -= sum_b (sum_a col_a T[a][b]) (x) row_b. The outer product is
+        # an (h, h, WL) value; at h = 256 a single full-array expression
+        # costs 32 MB of live vector registers and the Mosaic register
+        # allocator spills ~224 MB (measured; still 115 MB when chunked
+        # at 128 rows — the q complex product temporaries stack up).
+        # Chunk the update over small row blocks: each chunk keeps one
+        # (rb, h, WL) accumulator pair plus one term's products live
+        # (~20 MB at rb = 32, h = 256) while G is still read-modified-
+        # written exactly once.
+        combos = []
         for b in range(q):
             combo = _cmul(cols[0], T[0][b])
             for a in range(1, q):
                 combo = _cadd(combo, _cmul(cols[a], T[a][b]))
-            term_re, term_im = _cmul(combo, rows[b])
-            upd_re = term_re if upd_re is None else upd_re + term_re
+            combos.append(combo)                            # (h, 1, WL)
+        rb = h if h <= 128 else 32
+        for r0 in range(0, h, rb):
+            cw_ = min(rb, h - r0)      # tail chunk when h % rb != 0
+            upd_re = None
+            upd_im = None
+            for b in range(q):
+                cchunk = (combos[b][0][r0:r0 + cw_],
+                          None if combos[b][1] is None
+                          else combos[b][1][r0:r0 + cw_])
+                term_re, term_im = _cmul(cchunk, rows[b])
+                upd_re = term_re if upd_re is None else upd_re + term_re
+                if cplx:
+                    upd_im = term_im if upd_im is None \
+                        else upd_im + term_im
+            rs_ = pl.ds(r0, cw_)
+            gre[rs_, :, :] = gre[rs_, :, :] - upd_re
             if cplx:
-                upd_im = term_im if upd_im is None else upd_im + term_im
-        gre[...] = gre[...] - upd_re
-        if cplx:
-            gim[...] = gim[...] - upd_im
+                gim[rs_, :, :] = gim[rs_, :, :] - upd_im
 
         phi_i = phi_ref[pl.ds(i, 1), :, :]
         phi_ref[pl.ds(i, 1), :, :] = phi_i + gate * dphi_i

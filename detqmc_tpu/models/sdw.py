@@ -282,14 +282,18 @@ class SDWModel:
         _nb = 2 if (cfg.fermion_matrix != "full" and cfg.opdim <= 2) \
             else N_ORB
         _cdim = _nb * cfg.n_sites
-        from detqmc_tpu.linalg.pallas_cqr_lanes import MAX_N as _CQR_MAX
+        # native-complex ceiling: the QR/green column-lane kernels scale
+        # to any 8-multiple dim, but the fused update kernel keeps two
+        # (h, h, 128) f32 G-plane scratches in VMEM (32 MB each at
+        # h = 256) — 256 is the largest measured-safe complex dim
+        _NATIVE_MAX = 256
 
         self.native = False
         if cfg.fermion_repr == "auto":
             on_tpu = jax.default_backend() == "tpu"
             self.native = (cfg.opdim >= 2 and on_tpu
                            and cfg.jdtype == jnp.dtype("float32")
-                           and _cdim % 8 == 0 and _cdim <= _CQR_MAX)
+                           and _cdim % 8 == 0 and _cdim <= _NATIVE_MAX)
             self.embed = (cfg.opdim >= 2 and on_tpu and not self.native)
         elif cfg.fermion_repr == "native_pair":
             if cfg.opdim < 2:
@@ -1829,16 +1833,13 @@ class SDWModel:
         left = self._build_left_stack(phi)
         right_t = self._build_right_stack(phi)
         if self.native:
-            # occasional measurement path: run the generic rho-embedded
-            # formula, return pair matrices (the rho output of a
-            # rho-structured problem is exactly rho-structured)
-            from detqmc_tpu.linalg.cudv import embed_udv
+            # native-complex solve against the dense RHS d1min V1 — the
+            # general-RHS variant of the complex df32 green kernels, so
+            # unequal-time measurements skip the rho embedding's (2n)^3
+            from detqmc_tpu.linalg.cudv import cgreen_tau_zero_df32
 
-            G = green_tau_zero(embed_udv(left), embed_udv(right_t),
-                               compute_dtype=self.stab_dtype_eff)
-            d_ = self.dim
-            return jnp.stack([G[..., :d_, :d_], G[..., d_:, :d_]],
-                             axis=-3).astype(self.cfg.jdtype)
+            return cgreen_tau_zero_df32(
+                left, right_t, interpret=self._green_interpret)
         return green_tau_zero(left, right_t,
                               compute_dtype=self.stab_dtype_eff)
 

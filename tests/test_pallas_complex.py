@@ -91,3 +91,161 @@ def test_solve_inner_complex_matches_rho_embedding():
     got = np.asarray(mid[0, 0] + 1j * mid[0, 1], np.complex128)
     expected = np.linalg.solve(A[0], np.diag(r1[0]))
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+# ---- column-lane (large-n) complex kernels: pallas_cqr / pallas_cgreen ----
+
+from detqmc_tpu.linalg.pallas_cqr import cqr_big
+from detqmc_tpu.linalg.pallas_cgreen import solve_inner_complex_big
+
+
+def test_cqr_big_reconstructs():
+    """Column-lane complex QR: unitary Q, upper R, exact reconstruction —
+    n = 136 exercises the multi-CHUNK lane ranges (c0 = 128 for the last
+    chunk) that only exist above n = 128, the lane kernel's ceiling."""
+    rng = np.random.default_rng(10)
+    b, n = 2, 136
+    A, pair = _rand_pair(rng, b, n)
+    Q, R = cqr_big(pair, interpret=True)
+    Q = np.asarray(Q[:, 0] + 1j * Q[:, 1], np.complex128)
+    R = np.asarray(R[:, 0] + 1j * R[:, 1], np.complex128)
+    for k in range(b):
+        np.testing.assert_allclose(Q[k].conj().T @ Q[k], np.eye(n),
+                                   atol=5e-5)
+        assert np.abs(np.tril(R[k], -1)).max() == 0.0
+        Af32 = A[k].astype(np.complex64).astype(np.complex128)
+        np.testing.assert_allclose(Q[k] @ R[k], Af32, atol=2e-4)
+
+
+def test_cqr_big_matches_lanes():
+    """Same factorization as the lane-batched kernel where both apply
+    (identical complex Householder convention -> identical Q, R up to
+    f32 rounding)."""
+    rng = np.random.default_rng(11)
+    _, pair = _rand_pair(rng, 3, 24)
+    Q1, R1 = cqr_lanes(pair, interpret=True)
+    Q2, R2 = cqr_big(pair, interpret=True)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=2e-5)
+
+
+def test_cqr_big_vmapped():
+    rng = np.random.default_rng(12)
+    _, pair = _rand_pair(rng, 4, 16)
+    Q1, R1 = cqr_big(pair, interpret=True)
+    Q2, R2 = jax.vmap(lambda a: cqr_big(a, interpret=True))(pair)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-6)
+
+
+def test_solve_inner_complex_big_illconditioned():
+    """Column-lane complex df32 solve at condition ~ e^40: per-column
+    relative accuracy like the lane kernel (same criterion as the real
+    kernels' tests)."""
+    rng = np.random.default_rng(13)
+    n = 40
+    inner = _graded_complex(rng, n, 20.0)[None]
+    r1 = np.exp(np.linspace(0.0, -15.0, n))[None]
+    expected = np.linalg.solve(inner[0], np.diag(r1[0]))
+
+    hi_r, lo_r = df32.from_f64(jnp.asarray(inner.real, jnp.float64))
+    hi_i, lo_i = df32.from_f64(jnp.asarray(inner.imag, jnp.float64))
+    mid = solve_inner_complex_big(hi_r, lo_r, hi_i, lo_i,
+                                  jnp.asarray(r1, jnp.float32),
+                                  interpret=True)
+    got = np.asarray(mid[0, 0] + 1j * mid[0, 1], np.complex128)
+    col_scale = np.maximum(np.abs(expected).max(axis=0), 1e-300)
+    rel = np.abs(got - expected) / col_scale[None, :]
+    assert rel.max() < 1e-4, rel.max()
+
+
+def test_solve_inner_complex_big_multichunk():
+    """n = 136 crosses the 128-lane CHUNK boundary in both the QR and the
+    back-substitution; check against NumPy at moderate conditioning."""
+    rng = np.random.default_rng(14)
+    n = 136
+    inner = _graded_complex(rng, n, 8.0)[None]
+    r1 = np.exp(np.linspace(0.0, -4.0, n))[None]
+    expected = np.linalg.solve(inner[0], np.diag(r1[0]))
+
+    hi_r, lo_r = df32.from_f64(jnp.asarray(inner.real, jnp.float64))
+    hi_i, lo_i = df32.from_f64(jnp.asarray(inner.imag, jnp.float64))
+    mid = solve_inner_complex_big(hi_r, lo_r, hi_i, lo_i,
+                                  jnp.asarray(r1, jnp.float32),
+                                  interpret=True)
+    got = np.asarray(mid[0, 0] + 1j * mid[0, 1], np.complex128)
+    col_scale = np.maximum(np.abs(expected).max(axis=0), 1e-300)
+    rel = np.abs(got - expected) / col_scale[None, :]
+    assert rel.max() < 1e-5, rel.max()
+
+
+# ---- general-RHS solves (time-displaced G path) ----
+
+from detqmc_tpu.linalg.pallas_cgreen_lanes import solve_inner_complex_rhs
+from detqmc_tpu.linalg.pallas_cgreen import solve_inner_complex_big_rhs
+
+
+def _rhs_case(rng, n, span, rhs_scale=1.0):
+    inner = _graded_complex(rng, n, span)[None]
+    rhs = (rng.normal(size=(1, n, n)) + 1j * rng.normal(size=(1, n, n))
+           ) * rhs_scale
+    expected = np.linalg.solve(inner[0], rhs[0])
+    ip = (df32.from_f64(jnp.asarray(inner.real, jnp.float64))
+          + df32.from_f64(jnp.asarray(inner.imag, jnp.float64)))
+    rp = (df32.from_f64(jnp.asarray(rhs.real, jnp.float64))
+          + df32.from_f64(jnp.asarray(rhs.imag, jnp.float64)))
+    return ip, rp, expected
+
+
+def test_solve_inner_complex_rhs_matches_numpy():
+    """Lane kernel, dense-RHS variant: per-column relative accuracy at
+    condition ~ e^20 against NumPy complex solve."""
+    rng = np.random.default_rng(21)
+    ip, rp, expected = _rhs_case(rng, 24, 20.0)
+    mid = solve_inner_complex_rhs(ip, rp, interpret=True)
+    got = np.asarray(mid[0, 0] + 1j * mid[0, 1], np.complex128)
+    col_scale = np.maximum(np.abs(expected).max(axis=0), 1e-300)
+    rel = np.abs(got - expected) / col_scale[None, :]
+    assert rel.max() < 1e-4, rel.max()
+
+
+def test_solve_inner_complex_big_rhs_matches_numpy():
+    """Column-lane kernel, dense-RHS variant (n = 136: multi-CHUNK)."""
+    rng = np.random.default_rng(22)
+    ip, rp, expected = _rhs_case(rng, 136, 8.0)
+    mid = solve_inner_complex_big_rhs(ip, rp, interpret=True)
+    got = np.asarray(mid[0, 0] + 1j * mid[0, 1], np.complex128)
+    col_scale = np.maximum(np.abs(expected).max(axis=0), 1e-300)
+    rel = np.abs(got - expected) / col_scale[None, :]
+    assert rel.max() < 1e-5, rel.max()
+
+
+def test_cgreen_tau_zero_matches_rho_embedding():
+    """cgreen_tau_zero_df32 == the rho-embedded f64 green_tau_zero on a
+    DQMC-style factored pair chain."""
+    from detqmc_tpu.linalg.cudv import (cgreen_tau_zero_df32,
+                                        cudv_decompose, cudv_refactor,
+                                        embed_udv)
+    from detqmc_tpu.linalg.udv import green_tau_zero
+
+    rng = np.random.default_rng(23)
+    n = 16
+
+    def chain(seed_off, steps):
+        _, pair = _rand_pair(rng, 1, n)
+        f = cudv_decompose(pair)
+        for _ in range(steps):
+            _, B = _rand_pair(rng, 1, n)
+            from detqmc_tpu.linalg.cudv import cpx_mm_last
+            f = cudv_refactor(cpx_mm_last(B * 0.6, f.U), f.d, f.V)
+        return f
+
+    left = chain(0, 3)
+    right_t = chain(1, 3)
+    got = cgreen_tau_zero_df32(left, right_t, interpret=True)
+    G_rho = green_tau_zero(embed_udv(left), embed_udv(right_t),
+                           compute_dtype=jnp.float64)
+    exp_re = np.asarray(G_rho[..., :n, :n])
+    exp_im = np.asarray(G_rho[..., n:, :n])
+    np.testing.assert_allclose(np.asarray(got[:, 0]), exp_re, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[:, 1]), exp_im, atol=2e-5)

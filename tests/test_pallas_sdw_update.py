@@ -92,3 +92,30 @@ def test_kernel_vmapped_walkers():
         np.testing.assert_allclose(np.asarray(phib[w]), np.asarray(phiw),
                                    atol=2e-5)
         assert float(jnp.abs(accb[w] - accw)) < 1e-6
+
+
+@pytest.mark.slow
+def test_kernel_large_h_chunked_update_matches_scan():
+    """h = 144 > 128 exercises the rb = 32 chunked G update (the register
+    -spill guard for science-scale dims) and the rolled fori_loop site
+    body (N = 36 > 16) in one config: L = 6 full opdim-3, native pair
+    kernel (interpret) vs the complex scan path on the same RNG stream."""
+    kw = dict(L=6, opdim=3, r=0.5, beta=0.5, m=2, s=2, dtype="float32")
+    ms = SDWModel(SDWConfig(update_kernel="scan",
+                            fermion_repr="complex", **kw))
+    mn = SDWModel(SDWConfig(update_kernel="pallas",
+                            fermion_repr="native_pair", **kw))
+    st = ms.init_state(jax.random.key(5))
+    Gs, phis, accs = _run_slices(ms, st, n_slices=2)
+    stn = mn.init_state(jax.random.key(5))
+    np.testing.assert_allclose(np.asarray(st.phi), np.asarray(stn.phi),
+                               atol=0)
+    Gn, phin, accn = _run_slices(mn, stn, n_slices=2)
+    assert float(jnp.abs(accs - accn)) < 1e-6
+    np.testing.assert_allclose(np.asarray(phis), np.asarray(phin),
+                               atol=2e-5)
+    # native pair G vs complex-scan G
+    Gre = np.real(np.asarray(Gs))
+    Gim = np.imag(np.asarray(Gs))
+    np.testing.assert_allclose(np.asarray(Gn[0]), Gre, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(Gn[1]), Gim, atol=5e-4)
