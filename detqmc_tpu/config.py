@@ -120,6 +120,7 @@ _HUBBARD_KEYS = {
     "beta": float, "m": int, "dtau": float, "s": int,
     "checkerboard": _to_bool, "updateMethod": str, "delay": int,
     "dtype": str, "updateKernel": str, "greenKernel": str,
+    "greenRefineIters": int,
 }
 
 _SDW_KEYS = {
@@ -135,6 +136,7 @@ _SDW_KEYS = {
     "boxLength": float, "accRatio": float,
     "spinProposalMethod": str,
     "fermionRepr": str, "updateKernel": str, "greenKernel": str,
+    "greenRefineIters": int,
 }
 
 _PT_KEYS = {
@@ -233,7 +235,8 @@ def build_hubbard_config(model_params: Dict[str, str]):
     if upd == "iterative":
         delay = 0
     for conf_key, field in (("updateKernel", "update_kernel"),
-                            ("greenKernel", "green_kernel")):
+                            ("greenKernel", "green_kernel"),
+                            ("greenRefineIters", "green_refine_iters")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:
@@ -269,7 +272,8 @@ def build_sdw_config(model_params: Dict[str, str]):
         typed["delay"] = 16  # reference-style default delaySteps
     for conf_key, field in (("fermionRepr", "fermion_repr"),
                             ("updateKernel", "update_kernel"),
-                            ("greenKernel", "green_kernel")):
+                            ("greenKernel", "green_kernel"),
+                            ("greenRefineIters", "green_refine_iters")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:

@@ -100,12 +100,10 @@ def cudv_refactor(M, d, V, compose_dtype=None) -> UDV:
                V=cpx_mm_last(Vb, V.astype(rdt), mm_fn=mm_f64))
 
 
-def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
-                             interpret: bool = False):
-    """Stable G = (1 + A)^{-1} from factored complex halves, as a pair
-    matrix (2, n, n) f32 — the native-complex twin of
-    udv.green_from_two_udv_df32 (same hybrid assembly and range split).
-    """
+def _green_inner(left: UDV, right_t: UDV):
+    """The range-split inner stabilization matrix shared by every green
+    variant: inner = d1max^{-1} U1^H U2 d2max^{-1} + d1min V1 V2^H d2min
+    as an f64 pair, plus the f32 outer scales 1/d1max, 1/d2max."""
     f64, f32 = jnp.float64, jnp.float32
     U1 = left.U.astype(f32)
     U2 = right_t.U.astype(f32)
@@ -123,6 +121,87 @@ def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
              + _scale_cols_pair(_scale_rows_pair(d1min, VVh), d2min))
     r1max = (1.0 / d1max).astype(f32)
     r2max = (1.0 / d2max).astype(f32)
+    return inner, r1max, r2max, U1, U2, (d1max, d1min, d2max, d2min)
+
+
+def cinv_refined(inner, n_iter: int = 2, interpret: bool = False):
+    """Z ~= inner^{-1} for a complex pair matrix (..., 2, n, n), f64
+    planes in / f32 pair out, via mixed-precision iterative refinement:
+
+      1. factor A32 = QR once in PLAIN f32 (pallas_cqr[_lanes]) —
+         ~15-20x fewer VPU ops than the df32 QR of pallas_cgreen;
+      2. invert R once (pallas_ctrinv, f32 VPU);
+      3. Z0 = R^{-1} Q^H, then n_iter Newton-type corrections
+         Z += R^{-1} Q^H (I - A Z), each = two f32 MXU matmuls plus an
+         Ozaki bf16-limb f64 residual — MXU work, not VPU.
+
+    Householder QR is backward stable in f32, so the per-iteration error
+    contraction is ~cond(inner) * n * eps_f32; the stabilized inner
+    matrix is O(1)-entried and well-conditioned by construction (that is
+    the point of the range split), giving ~1e-7 relative after two
+    iterations — the same floor as the df32 kernels' f32 output.
+    (Reference parity: greenFromUdV's stable inner solve, SURVEY.md §3
+    "DQMC core"; the precision strategy is TPU-native.)"""
+    f64, f32 = jnp.float64, jnp.float32
+    n = inner.shape[-1]
+    A32 = inner.astype(f32)
+    on_kernel = n % 8 == 0 and (interpret
+                                or jax.default_backend() == "tpu")
+    if on_kernel:
+        from detqmc_tpu.linalg.pallas_cqr import cqr_big
+        from detqmc_tpu.linalg.pallas_cqr_lanes import MAX_N, cqr_lanes
+        from detqmc_tpu.linalg.pallas_ctrinv import ctrinv_big
+
+        if n <= MAX_N:
+            Q, R = cqr_lanes(A32, interpret=interpret)
+        else:
+            Q, R = cqr_big(A32, interpret=interpret)
+        Rinv = ctrinv_big(R, interpret=interpret)
+    else:
+        # off-TPU correctness path: jnp complex QR + triangular solve
+        Ac = (A32[..., 0, :, :] + 1j * A32[..., 1, :, :]).astype(
+            jnp.complex64)
+        Qc, Rc = jnp.linalg.qr(Ac)
+        eye_c = jnp.broadcast_to(jnp.eye(n, dtype=Rc.dtype),
+                                 Rc.shape)
+        Rinv_c = jax.lax.linalg.triangular_solve(
+            Rc, eye_c, left_side=True, lower=False)
+        pair = lambda X: jnp.stack(  # noqa: E731
+            [jnp.real(X), jnp.imag(X)], axis=-3).astype(f32)
+        Q, Rinv = pair(Qc), pair(Rinv_c)
+    Qh = cpx_conjT(Q)
+    Z = cpx_mm_last(Rinv, Qh)
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    eye = cpx_eye(n, f64, inner.shape[:-3])
+    for _ in range(n_iter):
+        S = eye - cpx_mm_last(inner, Z.astype(f64), mm_fn=mm_f64)
+        S32 = S.astype(f32)
+        Z = Z + cpx_mm_last(Rinv, cpx_mm_last(Qh, S32))
+    return Z
+
+
+def cgreen_refine(left: UDV, right_t: UDV, n_iter: int = 2,
+                  interpret: bool = False):
+    """Stable G = (1 + A)^{-1} via the refined f32-factor inner inverse
+    (cinv_refined) — the fast TPU path for large complex dims. Identical
+    assembly to cgreen_from_two_udv_df32; only the inner solve differs
+    (Z = inner^{-1} refined on the MXU, then exact column scaling by
+    diag(1/d1max))."""
+    inner, r1max, r2max, U1, U2, _ = _green_inner(left, right_t)
+    Z = cinv_refined(inner, n_iter=n_iter, interpret=interpret)
+    mid = _scale_cols_pair(Z, r1max)
+    return cpx_mm_last(_scale_cols_pair(U2, r2max),
+                       cpx_mm_last(mid, cpx_conjT(U1)))
+
+
+def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
+                             interpret: bool = False):
+    """Stable G = (1 + A)^{-1} from factored complex halves, as a pair
+    matrix (2, n, n) f32 — the native-complex twin of
+    udv.green_from_two_udv_df32 (same hybrid assembly and range split).
+    """
+    inner, r1max, r2max, U1, U2, _ = _green_inner(left, right_t)
     n = inner.shape[-1]
     from detqmc_tpu.linalg.pallas_cgreen_lanes import (MAX_N,
                                                       solve_inner_complex)
@@ -168,22 +247,9 @@ def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
     (Reference parity: time-displaced Green support, SURVEY.md §3 "DQMC
     core", §9 "Unequal-time".)"""
     f64, f32 = jnp.float64, jnp.float32
-    U1 = left.U.astype(f32)
-    U2 = right_t.U.astype(f32)
-    d1 = left.d.astype(f64)
-    d2 = right_t.d.astype(f64)
-    d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
-    d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
-    UhU = cpx_mm_last(cpx_conjT(U1), U2).astype(f64)
-    from detqmc_tpu.linalg.ozaki import mm_f64
-
-    VVh = cpx_mm_last(left.V.astype(f64),
-                      cpx_conjT(right_t.V.astype(f64)), mm_fn=mm_f64)
-    inner = (_scale_cols_pair(_scale_rows_pair(1.0 / d1max, UhU),
-                              1.0 / d2max)
-             + _scale_cols_pair(_scale_rows_pair(d1min, VVh), d2min))
+    inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
+        _green_inner(left, right_t)
     rhs = _scale_rows_pair(d1min, left.V.astype(f64))
-    r2max = (1.0 / d2max).astype(f32)
     n = inner.shape[-1]
     if n % 8 == 0:
         ip = (df32.from_f64(inner[..., 0, :, :])
@@ -212,6 +278,41 @@ def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
         return jnp.stack([G_rho[..., :n, :n], G_rho[..., n:, :n]],
                          axis=-3).astype(f32)
     return cpx_mm_last(_scale_cols_pair(U2, r2max), mid)
+
+
+def clog_abs_det_one_plus_udv(f: UDV) -> jax.Array:
+    """log|det(1 + U d V)| for a complex pair chain, no V inverse.
+
+    The real-path formula (udv.log_det_one_plus_udv) needs V^{-1} and
+    three slogdets — on the TPU that means an emulated-f64 LU of the rho
+    embedding at 2n. This uses the inverse-free factorization
+
+        1 + U d V = (U dmax) (dmax^{-1} U^H + dmin V),    d = dmax dmin
+
+    (check: U U^H + U dmax dmin V = 1 + U d V). U is unitary
+    (|det U| = 1), dmax is diagonal, and M = dmax^{-1} U^H + dmin V has
+    O(1)-bounded entries (1/dmax <= 1 rows of a unitary; dmin <= 1 rows
+    of the unit-triangular-composed V), so
+
+        log|det(1 + U d V)| = sum log dmax + sum log d_i(QR(M))
+
+    with the QR running in the f32 complex pair kernels. Householder QR
+    is column-scale accurate, so each log d_i carries ~n*eps_f32
+    relative error; the accumulated absolute error on the log (~1e-3 at
+    n = 256) is far below the O(1) log-ratio differences global-move
+    accepts compare. (Reference parity: the stabilized determinant
+    recompute for globalShift/Wolff accepts, SURVEY.md §4.1.)"""
+    f64 = jnp.float64
+    d = f.d.astype(f64)
+    dmax, dmin = jnp.maximum(d, 1.0), jnp.minimum(d, 1.0)
+    f32 = jnp.float32
+    Uh = cpx_conjT(f.U.astype(f32))
+    M = (_scale_rows_pair((1.0 / dmax).astype(f32), Uh)
+         + _scale_rows_pair(dmin, f.V.astype(f64)).astype(f32))
+    g = cudv_decompose(M)
+    tiny = jnp.finfo(f32).tiny
+    logdM = jnp.log(jnp.maximum(g.d.astype(f64), tiny)).sum(axis=-1)
+    return jnp.log(dmax).sum(axis=-1) + logdM
 
 
 def cpx_conjT(A):

@@ -55,26 +55,44 @@ CB = 8       # column chunk (sublane granularity for triangular restriction)
 MAX_N = 128
 
 
-def _kernel(Ah_hbm, Al_hbm, r1_ref, out_ref, Bh, Bl, Ml, ah, al,
-            sem_h, sem_l, *, n: int):
+def _kernel(*refs, n: int, has_rhs: bool):
+    """QR + solve; M seeded from diag(r1), or from a dense df32 RHS
+    DMA'd from HBM when has_rhs (the time-displaced G path)."""
+    it = iter(refs)
+    Ah_hbm, Al_hbm = next(it), next(it)
+    if has_rhs:
+        Rh_hbm, Rl_hbm = next(it), next(it)
+        r1_ref = None
+    else:
+        r1_ref = next(it)
+    out_ref = next(it)
+    Bh, Bl, Ml, ah, al = (next(it) for _ in range(5))
+    sems = [next(it) for _ in range(4 if has_rhs else 2)]
     f32 = out_ref.dtype
-    # The two (n, n, WL) inputs stay in HBM (memory_space=ANY) and are
+    # The (n, n, WL) inputs stay in HBM (memory_space=ANY) and are
     # DMA'd straight into the QR scratch: routing them through VMEM input
     # blocks would double-buffer ~4 MB past the 16 MB scoped-VMEM limit.
     g = pl.program_id(0)
-    dma_h = pltpu.make_async_copy(Ah_hbm.at[pl.ds(g * n, n)], Bh, sem_h)
-    dma_l = pltpu.make_async_copy(Al_hbm.at[pl.ds(g * n, n)], Bl, sem_l)
-    dma_h.start()
-    dma_l.start()
-    dma_h.wait()
-    dma_l.wait()
-    # M = diag(r1): out_ref doubles as Mh (it is written fully below)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    out_ref[...] = (rows2 == cols2).astype(f32) * r1_ref[...]
-    Ml[...] = jnp.zeros_like(Ml)
+    srcs = [Ah_hbm, Al_hbm]
+    dsts = [Bh, Bl]
+    if has_rhs:
+        # out_ref doubles as Mh; RHS planes land directly in M
+        srcs += [Rh_hbm, Rl_hbm]
+        dsts += [out_ref, Ml]
+    dmas = [pltpu.make_async_copy(src.at[pl.ds(g * n, n)], dst, sem)
+            for src, dst, sem in zip(srcs, dsts, sems)]
+    for d in dmas:
+        d.start()
+    if not has_rhs:
+        # M = diag(r1): out_ref doubles as Mh (it is written fully below)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+        out_ref[...] = (rows2 == cols2).astype(f32) * r1_ref[...]
+        Ml[...] = jnp.zeros_like(Ml)
     ah[...] = jnp.zeros_like(ah)
     al[...] = jnp.zeros_like(al)
+    for d in dmas:
+        d.wait()
     Mh = out_ref
 
     # ---- Householder QR, trailing updates restricted to rows/cols >= a ----
@@ -145,24 +163,28 @@ def _kernel(Ah_hbm, Al_hbm, r1_ref, out_ref, Bh, Bl, Ml, ah, al,
     out_ref[...] = Mh[...] + Ml[...]
 
 
-def _call_lanes(Ah, Al, r1, *, interpret: bool):
+def _call_lanes(Ah, Al, r1, *, interpret: bool, rhs=None):
     """Ah/Al: (G*n, n, WL); r1: (G*n, 1, WL). Grid over G row-blocks."""
     Gn, n, _ = Ah.shape
     G = Gn // n
+    has_rhs = rhs is not None
     mat = functools.partial(pl.BlockSpec, (n, n, WL),
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     vec = functools.partial(pl.BlockSpec, (n, 1, WL),
                             lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     hbm = functools.partial(pl.BlockSpec, memory_space=pl.ANY)
+    n_dma = 4 if has_rhs else 2
     scratch = ([pltpu.VMEM((n, n, WL), jnp.float32) for _ in range(3)]
                + [pltpu.VMEM((n, 1, WL), jnp.float32) for _ in range(2)]
-               + [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA])
+               + [pltpu.SemaphoreType.DMA] * n_dma)
+    ins = [Ah, Al] + (list(rhs) if has_rhs else [r1])
+    in_specs = [hbm()] * 4 if has_rhs else [hbm(), hbm(), vec()]
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            functools.partial(_kernel, n=n),
+            functools.partial(_kernel, n=n, has_rhs=has_rhs),
             grid=(G,),
             out_shape=jax.ShapeDtypeStruct((Gn, n, WL), jnp.float32),
-            in_specs=[hbm(), hbm(), vec()],
+            in_specs=in_specs,
             out_specs=mat(),
             scratch_shapes=scratch,
             # the live (n, n, WL) df32 temporaries inside a QR step exceed
@@ -171,8 +193,63 @@ def _call_lanes(Ah, Al, r1, *, interpret: bool):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(Ah, Al, r1)
+        )(*ins)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_solve_lanes_rhs(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def solve(inner_hi, inner_lo, rhs_hi, rhs_lo):
+        Bt, n, _ = inner_hi.shape
+        G = -(-Bt // WL)
+        pad = G * WL - Bt
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32),
+                                   (pad, n, n))
+            z = jnp.zeros((pad, n, n), jnp.float32)
+            inner_hi = jnp.concatenate([inner_hi, eye], axis=0)
+            inner_lo = jnp.concatenate([inner_lo, z], axis=0)
+            rhs_hi = jnp.concatenate([rhs_hi, z], axis=0)
+            rhs_lo = jnp.concatenate([rhs_lo, z], axis=0)
+
+        def to_lanes(x):
+            x = x.reshape(G, WL, n, n)
+            return jnp.transpose(x, (0, 2, 3, 1)).reshape(G * n, n, WL)
+
+        out = _call_lanes(to_lanes(inner_hi), to_lanes(inner_lo), None,
+                          interpret=interpret,
+                          rhs=(to_lanes(rhs_hi), to_lanes(rhs_lo)))
+        out = jnp.transpose(out.reshape(G, n, n, WL), (0, 3, 1, 2))
+        return out.reshape(G * WL, n, n)[:Bt]
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                x[None], (axis_size, *x.shape))
+
+        args = [bcast(x, b) for x, b in zip(args, in_batched)]
+        lead = args[0].shape[:-2]
+        n = args[0].shape[-1]
+        out = solve(*[a.reshape(-1, n, n) for a in args])
+        return out.reshape(*lead, n, n), True
+
+    return solve
+
+
+def solve_inner_lanes_rhs(inner_hi, inner_lo, rhs_hi, rhs_lo, *,
+                          interpret: bool = False):
+    """X = inner^{-1} RHS for df32 inner and dense df32 RHS (real) —
+    the general-RHS twin of solve_inner_lanes, used by the
+    time-displaced G path (RHS = d1min V1). Any leading batch shape
+    (including none) flattens into the lane groups."""
+    lead = inner_hi.shape[:-2]
+    n = inner_hi.shape[-1]
+    out = _make_solve_lanes_rhs(interpret)(
+        inner_hi.reshape(-1, n, n), inner_lo.reshape(-1, n, n),
+        rhs_hi.reshape(-1, n, n), rhs_lo.reshape(-1, n, n))
+    return out.reshape(*lead, n, n)
 
 
 @functools.lru_cache(maxsize=None)

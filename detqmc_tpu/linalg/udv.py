@@ -208,8 +208,28 @@ def green_from_two_udv_df32(left: UDV, right_t: UDV,
     (hi, lo) pairs for the kernel, and the O(1)-conditioned outer matmuls
     stay plain f32 on the MXU. Output: f32 G.
     """
+    from detqmc_tpu.linalg import df32 as _df
     from detqmc_tpu.linalg.pallas_green import solve_inner
 
+    inner, r1max, r2max, U1, U2, _ = _green_inner_real(left, right_t)
+    hi, lo = _df.from_f64(inner)
+    mid = solve_inner(hi, lo, r1max, interpret=interpret)
+    return mm(scale_cols(U2, r2max), mm(mid, _H(U1)))
+
+
+def _green_inner_real(left: UDV, right_t: UDV):
+    """The range-split inner stabilization matrix (f64) + f32 outer
+    scales, shared by the green variants.
+
+    Hybrid assembly: the two cross matmuls stay f32 on the MXU (their
+    entries only carry f32 relative accuracy anyway), while the d-range
+    scalings and the sum — where the e^{+-beta W} grading enters — run
+    as cheap f64 elementwise ops. (A fully-f32 assembly costs ~5x in G
+    accuracy; a fully f64 one costs ~20% of the green time in
+    emulated-f64 matmul latency.) V1 V2^H must stay f64-accurate: the
+    composed stack V factors carry real beyond-f32 information
+    (measured: f32 here costs 5x in G accuracy). mm_f64 = exact
+    bf16-limb MXU product (linalg/ozaki)."""
     f64 = jnp.float64
     f32 = jnp.float32
     U1 = left.U.astype(f32)
@@ -218,27 +238,68 @@ def green_from_two_udv_df32(left: UDV, right_t: UDV,
     d2 = right_t.d.astype(f64)
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
     d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
-    # Hybrid assembly: the two cross matmuls stay f32 on the MXU (their
-    # entries only carry f32 relative accuracy anyway), while the d-range
-    # scalings and the sum — where the e^{+-beta W} grading enters — run
-    # as cheap f64 elementwise ops, then split to an f32 (hi, lo) pair for
-    # the kernel. (A fully-f32 assembly costs ~5x in G accuracy; a fully
-    # f64 one costs ~20% of the green time in emulated-f64 matmul latency.)
-    from detqmc_tpu.linalg import df32 as _df
-
-    UhU = mm(_H(U1), U2).astype(f64)
-    # V1 V2^H must stay f64-accurate: the composed stack V factors carry
-    # real beyond-f32 information (measured: f32 here costs 5x in G
-    # accuracy). mm_f64 = exact bf16-limb MXU product (linalg/ozaki).
     from detqmc_tpu.linalg.ozaki import mm_f64
 
+    UhU = mm(_H(U1), U2).astype(f64)
     VVh = mm_f64(left.V.astype(f64), _H(right_t.V.astype(f64)))
     inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
              + scale_cols(scale_rows(d1min, VVh), d2min))
-    hi, lo = _df.from_f64(inner)
     r1max = (1.0 / d1max).astype(f32)
     r2max = (1.0 / d2max).astype(f32)
-    mid = solve_inner(hi, lo, r1max, interpret=interpret)
+    return inner, r1max, r2max, U1, U2, (d1max, d1min, d2max, d2min)
+
+
+def inv_refined(inner, n_iter: int = 2, interpret: bool = False):
+    """Z ~= inner^{-1} for a real (..., n, n) f64 matrix, f32 out, via
+    mixed-precision iterative refinement — the real twin of
+    cudv.cinv_refined: one plain-f32 QR (pallas_qr_lanes) + one f32
+    triangular inversion (pallas_trinv), then n_iter Newton-type
+    corrections Z += R^{-1} Q^T (I - A Z) whose residuals run as Ozaki
+    bf16-limb f64 MXU products. ~15-20x fewer VPU ops than the df32
+    QR+backsub kernels; valid when cond(inner) * n * eps_f32 << 1 —
+    which the range-split construction guarantees (O(1)-entried,
+    well-conditioned inner), and green_dev monitors every sweep."""
+    f64, f32 = jnp.float64, jnp.float32
+    n = inner.shape[-1]
+    A32 = inner.astype(f32)
+    on_kernel = n % 8 == 0 and (interpret
+                                or jax.default_backend() == "tpu")
+    if on_kernel:
+        from detqmc_tpu.linalg.pallas_qr_lanes import MAX_N, qr_lanes
+        from detqmc_tpu.linalg.pallas_trinv import trinv_big
+
+        if n > MAX_N:
+            raise NotImplementedError(
+                "inv_refined: no column-lane real QR kernel above "
+                f"n={MAX_N} yet; use the df32 solver")
+        Q, R = qr_lanes(A32, interpret=interpret)
+        Rinv = trinv_big(R, interpret=interpret)
+    else:
+        Q, R = jnp.linalg.qr(A32)
+        eye32 = jnp.broadcast_to(jnp.eye(n, dtype=f32), R.shape)
+        Rinv = jax.lax.linalg.triangular_solve(
+            R, eye32, left_side=True, lower=False)
+    Qt = jnp.swapaxes(Q, -1, -2)
+    Z = mm(Rinv, Qt)
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=f64),
+                           (*inner.shape[:-2], n, n))
+    for _ in range(n_iter):
+        S = (eye - mm_f64(inner, Z.astype(f64))).astype(f32)
+        Z = Z + mm(Rinv, mm(Qt, S))
+    return Z
+
+
+def green_refine(left: UDV, right_t: UDV, n_iter: int = 2,
+                 interpret: bool = False) -> jax.Array:
+    """Stable G via the refined f32-factor inner inverse (inv_refined) —
+    identical assembly to green_from_two_udv_df32, with the inner solve
+    replaced by Z = inner^{-1} on the refinement path and an exact
+    column scaling by diag(1/d1max)."""
+    inner, r1max, r2max, U1, U2, _ = _green_inner_real(left, right_t)
+    Z = inv_refined(inner, n_iter=n_iter, interpret=interpret)
+    mid = scale_cols(Z, r1max)
     return mm(scale_cols(U2, r2max), mm(mid, _H(U1)))
 
 
@@ -292,6 +353,29 @@ def green_tau_zero(left: UDV, right_t: UDV, compute_dtype=None
         g.V, rhs.astype(g.V.dtype), left_side=True, lower=False)
     G = mm(scale_cols(right_t.U, 1.0 / d2max), mid)
     return G.astype(out_dtype)
+
+
+def green_tau_zero_df32(left: UDV, right_t: UDV,
+                        interpret: bool = False) -> jax.Array:
+    """Stable G(tau, 0) with the inner solve in the df32 lane kernel:
+    the same factorization as green_tau_zero, but the dense-RHS solve
+    inner^{-1} (d1min V1) runs in pallas_green_lanes' general-RHS
+    variant instead of an emulated-f64 QR + triangular solve on TPU.
+    Valid for n <= pallas_green_lanes.MAX_N (the Hubbard sizes); the
+    caller keeps green_tau_zero for larger/odd dims.
+    (Reference parity: time-displaced Green support, SURVEY.md §3
+    "DQMC core", §9 "Unequal-time".)"""
+    from detqmc_tpu.linalg import df32 as _df
+    from detqmc_tpu.linalg.pallas_green_lanes import solve_inner_lanes_rhs
+
+    f64 = jnp.float64
+    inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
+        _green_inner_real(left, right_t)
+    rhs = scale_rows(d1min, left.V.astype(f64))
+    hi, lo = _df.from_f64(inner)
+    rh, rl = _df.from_f64(rhs)
+    mid = solve_inner_lanes_rhs(hi, lo, rh, rl, interpret=interpret)
+    return mm(scale_cols(U2, r2max), mid)
 
 
 def log_det_one_plus_udv(f: UDV) -> Tuple[jax.Array, jax.Array]:

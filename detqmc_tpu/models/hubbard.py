@@ -82,8 +82,13 @@ class HubbardConfig:
     update_kernel: str = "auto"
     # "auto": df32 Pallas stabilization kernel on TPU when the f64 island
     # is active (XLA's emulated-f64 QR has ~90ms latency); "xla" forces
-    # the XLA path; "pallas" forces the kernel (interpret mode off-TPU)
+    # the XLA path; "pallas" forces the kernel (interpret mode off-TPU);
+    # "refine": mixed-precision inner solve — one plain-f32 QR +
+    # triangular inversion, Newton corrections on the MXU
+    # (udv.green_refine)
     green_kernel: str = "auto"
+    # refinement steps for green_kernel="refine"
+    green_refine_iters: int = 2
     dtype: str = "float32"
     # precision island for the stabilized G recompute; "auto" = float64
     # when dtype is float32 (the inner matrix's condition ~ e^{beta W}
@@ -251,12 +256,22 @@ class HubbardModel:
             raise ValueError(f"unknown update_kernel {cfg.update_kernel!r}")
         # df32 stabilization kernel selection
         island = cfg.stab_jdtype != cfg.jdtype
+        self._green_refine = False
         if cfg.green_kernel == "auto":
             self._green_pallas = (jax.default_backend() == "tpu" and island
                                   and dt == jnp.dtype("float32"))
             self._green_interpret = False
         elif cfg.green_kernel == "pallas":
             self._green_pallas = True
+            self._green_interpret = jax.default_backend() != "tpu"
+        elif cfg.green_kernel == "refine":
+            # mixed-precision inner solve: one plain-f32 QR + triangular
+            # inversion, Newton corrections on the MXU (udv.green_refine)
+            if dt != jnp.dtype("float32") or not island:
+                raise ValueError("green_kernel='refine' needs dtype="
+                                 "float32 with the f64 stab island")
+            self._green_pallas = False
+            self._green_refine = True
             self._green_interpret = jax.default_backend() != "tpu"
         elif cfg.green_kernel == "xla":
             self._green_pallas = False
@@ -267,6 +282,12 @@ class HubbardModel:
 
     def _green(self, left: UDV, right_t: UDV) -> jax.Array:
         """Stabilized G from factored halves, on the fastest valid path."""
+        if self._green_refine:
+            from detqmc_tpu.linalg.udv import green_refine
+
+            return green_refine(left, right_t,
+                                n_iter=self.cfg.green_refine_iters,
+                                interpret=self._green_interpret)
         if self._green_pallas:
             from detqmc_tpu.linalg.udv import green_from_two_udv_df32
 
@@ -712,9 +733,19 @@ class HubbardModel:
 
         left = build(transposed=False)    # entries k: B_{ks}..B_1
         right_t = build(transposed=True)  # entries k: (B_m..B_{ks+1})^H
-        from detqmc_tpu.linalg.udv import green_tau_zero
+        from detqmc_tpu.linalg.pallas_green_lanes import MAX_N
+        from detqmc_tpu.linalg.udv import (green_tau_zero,
+                                           green_tau_zero_df32)
 
-        G_up = green_tau_zero(left, right_t, compute_dtype=sdt)
+        if self._green_pallas and N % 8 == 0 and N <= MAX_N:
+            # df32 lane kernel with the dense RHS d1min V1: no
+            # emulated-f64 QR in the unequal-time measurement
+            gtz = lambda l_, r_: green_tau_zero_df32(  # noqa: E731
+                l_, r_, interpret=self._green_interpret)
+        else:
+            gtz = lambda l_, r_: green_tau_zero(       # noqa: E731
+                l_, r_, compute_dtype=sdt)
+        G_up = gtz(left, right_t)
         if not cfg.ph_on:
             return G_up
         # particle-hole mode: the down sector is the exact per-configuration
@@ -725,7 +756,7 @@ class HubbardModel:
         # is green_tau_zero with the two stacks' roles SWAPPED — the right
         # stack already stores B(beta,tau)^T and the left one equals
         # C'^H = B(tau,0).
-        G_bt = green_tau_zero(right_t, left, compute_dtype=sdt)
+        G_bt = gtz(right_t, left)
         eta = self.stagger.astype(G_up.dtype)
         G_dn = eta[:, None] * G_bt * eta[None, :]
         return jnp.concatenate([G_up, G_dn], axis=1)      # (K+1, 2, N, N)

@@ -130,8 +130,15 @@ class SDWConfig:
     # "auto": df32 Pallas stabilization kernel on TPU when the fermion
     # matrix is real f32 and the f64 precision island is active (XLA's
     # emulated-f64 QR has ~90 ms latency per call); "xla" forces the
-    # generic path; "pallas" forces the kernel (interpret mode off-TPU)
+    # generic path; "pallas" forces the kernel (interpret mode off-TPU);
+    # "refine" (native_pair only): mixed-precision inner solve — one
+    # plain-f32 complex QR + triangular inversion, then Newton-type
+    # corrections on the MXU (cudv.cgreen_refine); "df32" forces the
+    # df32 kernel in native mode (the non-refined native default)
     green_kernel: str = "auto"
+    # refinement steps for green_kernel="refine" (each = one Ozaki f64
+    # residual + two f32 MXU matmuls)
+    green_refine_iters: int = 2
     # fused lane-batched slice-update kernel (linalg/pallas_sdw_update):
     # "auto" = on TPU for f32 phase-free representations (embedded
     # opdim >= 2, or the real opdim-1 sector); "pallas" forces it
@@ -409,17 +416,35 @@ class SDWModel:
         # (embed or opdim 1) with the f64 compose island active
         island = self.stab_dtype_eff != self.cdtype
         real_f32 = self.cdtype == jnp.dtype("float32")
+        self._green_refine = False
         if cfg.green_kernel == "auto":
             self._green_pallas = (jax.default_backend() == "tpu"
                                   and island and real_f32)
             self._green_interpret = False
+            # native chain: the refined mixed-precision solve is the
+            # default (the range-split inner matrix is O(1)-entried and
+            # well-conditioned; green_dev monitors every sweep) — force
+            # green_kernel="df32" to keep the df32 VPU kernel instead
+            self._green_refine = self.native
         elif cfg.green_kernel == "pallas":
             if not real_f32:
                 raise ValueError("green_kernel='pallas' needs a real f32 "
                                  "fermion matrix (embed or opdim 1)")
             self._green_pallas = True
             self._green_interpret = jax.default_backend() != "tpu"
-        elif cfg.green_kernel == "xla":
+        elif cfg.green_kernel == "refine":
+            if not self.native:
+                raise ValueError("green_kernel='refine' is the native-"
+                                 "pair mixed-precision solve; it needs "
+                                 "fermion_repr='native_pair'")
+            self._green_pallas = False
+            self._green_interpret = False
+            self._green_refine = True
+        elif cfg.green_kernel in ("xla", "df32"):
+            if cfg.green_kernel == "df32" and not self.native:
+                raise ValueError("green_kernel='df32' names the native-"
+                                 "pair df32 kernel; use 'pallas' for the "
+                                 "real representations")
             self._green_pallas = False
             self._green_interpret = False
         else:
@@ -470,6 +495,13 @@ class SDWModel:
         """Stabilized G from factored halves on the fastest valid path
         (same dispatch as HubbardModel._green)."""
         if self.native:
+            if self._green_refine:
+                from detqmc_tpu.linalg.cudv import cgreen_refine
+
+                return cgreen_refine(
+                    left, right_t,
+                    n_iter=self.cfg.green_refine_iters,
+                    interpret=self._green_interpret)
             from detqmc_tpu.linalg.cudv import cgreen_from_two_udv_df32
 
             return cgreen_from_two_udv_df32(
@@ -1723,16 +1755,18 @@ class SDWModel:
 
     def _chain_logdet(self, phi):
         """log|det(1 + B_m...B_1)| via the factored chain. Native mode
-        embeds the single full-chain factor to rho (the rho log-det is
-        2x the complex one; logdet_fac accounts for it) — global moves
-        are rare, so the 2x there is irrelevant."""
+        runs the inverse-free complex pair formula
+        (cudv.clog_abs_det_one_plus_udv: f32 complex QR kernels, no
+        emulated-f64 LU of the rho embedding); the x2 returns the
+        rho-embedded convention logdet_fac expects (det rho = |det|^2)."""
         from detqmc_tpu.linalg.udv import log_det_one_plus_udv
         stack = self._build_right_stack(phi)
         full_t = UDV(stack.U[0], stack.d[0], stack.V[0])
         if self.native:
-            from detqmc_tpu.linalg.cudv import embed_udv
+            from detqmc_tpu.linalg.cudv import clog_abs_det_one_plus_udv
 
-            full_t = embed_udv(full_t)
+            ld = clog_abs_det_one_plus_udv(full_t)
+            return 2.0 * ld, jnp.ones_like(ld)
         return log_det_one_plus_udv(UDV(
             full_t.U, full_t.d, full_t.V.astype(full_t.U.dtype)))
 

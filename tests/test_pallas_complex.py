@@ -249,3 +249,119 @@ def test_cgreen_tau_zero_matches_rho_embedding():
     exp_im = np.asarray(G_rho[..., n:, :n])
     np.testing.assert_allclose(np.asarray(got[:, 0]), exp_re, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got[:, 1]), exp_im, atol=2e-5)
+
+
+def test_clog_abs_det_matches_rho_slogdet():
+    """Inverse-free complex |det(1+UdV)| == the rho-embedded f64
+    slogdet formula across a wide d range (e^-30 .. e^30)."""
+    from detqmc_tpu.linalg.cudv import (clog_abs_det_one_plus_udv,
+                                        cudv_decompose, embed_udv)
+    from detqmc_tpu.linalg.udv import UDV, log_det_one_plus_udv
+
+    rng = np.random.default_rng(31)
+    n = 24
+    _, pairU = _rand_pair(rng, 1, n)
+    f0 = cudv_decompose(pairU)                       # unitary-ish U
+    d = jnp.asarray(np.exp(np.linspace(30.0, -30.0, n))[None],
+                    jnp.float64)
+    _, pairV = _rand_pair(rng, 1, n)
+    gV = cudv_decompose(pairV)
+    f = UDV(U=f0.U, d=d, V=gV.U.astype(jnp.float64))  # unitary V too
+    ld = clog_abs_det_one_plus_udv(f)
+    ld_rho, _ = log_det_one_plus_udv(embed_udv(
+        UDV(f.U.astype(jnp.float64), f.d, f.V)))
+    # det rho = |det|^2
+    np.testing.assert_allclose(2.0 * np.asarray(ld), np.asarray(ld_rho),
+                               rtol=1e-5, atol=2e-3)
+
+
+# ---- triangular inverse + refined inner inverse (mixed-precision green) ----
+
+
+def test_ctrinv_matches_numpy():
+    """Column-lane complex triangular inverse against NumPy, including a
+    graded diagonal (the class QR of the inner matrix produces) and an
+    n = 136 multi-CHUNK case."""
+    from detqmc_tpu.linalg.pallas_ctrinv import ctrinv_big
+
+    rng = np.random.default_rng(41)
+    for n, span in ((24, 6.0), (136, 3.0)):
+        A = rng.normal(size=(2, n, n)) + 1j * rng.normal(size=(2, n, n))
+        R = np.triu(A) + np.diag(np.exp(np.linspace(0.0, -span, n)))[None]
+        pair = jnp.asarray(np.stack([R.real, R.imag], axis=1), jnp.float32)
+        X = ctrinv_big(pair, interpret=True)
+        Xc = np.asarray(X[:, 0] + 1j * X[:, 1], np.complex128)
+        for b in range(2):
+            expected = np.linalg.inv(R[b].astype(np.complex64))
+            # strictly upper triangular result, column-relative accuracy
+            assert np.abs(np.tril(Xc[b], -1)).max() == 0.0
+            col = np.maximum(np.abs(expected).max(axis=0), 1e-30)
+            rel = np.abs(Xc[b] - expected) / col[None, :]
+            assert rel.max() < 5e-5, (n, rel.max())
+
+
+def test_ctrinv_vmapped():
+    from detqmc_tpu.linalg.pallas_ctrinv import ctrinv_big
+
+    rng = np.random.default_rng(42)
+    A = rng.normal(size=(3, 16, 16)) + 1j * rng.normal(size=(3, 16, 16))
+    R = np.triu(A + 3.0 * np.eye(16))
+    pair = jnp.asarray(np.stack([R.real, R.imag], axis=1), jnp.float32)
+    X1 = ctrinv_big(pair, interpret=True)
+    X2 = jax.vmap(lambda r: ctrinv_big(r, interpret=True))(pair)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=1e-6)
+
+
+def test_cinv_refined_converges():
+    """Mixed-precision refined inverse: f32 QR factor + MXU refinement
+    reaches ~f32-storage-floor per-column accuracy on the moderately
+    conditioned inner class (cond ~ e^8 — the range-split inner matrix
+    is O(1)-entried by construction)."""
+    from detqmc_tpu.linalg.cudv import cinv_refined
+
+    rng = np.random.default_rng(43)
+    n = 40
+    inner = _graded_complex(rng, n, 8.0)[None]
+    pair = jnp.asarray(np.stack([inner.real, inner.imag], axis=1),
+                       jnp.float64)
+    expected = np.linalg.inv(inner[0])
+    col = np.maximum(np.abs(expected).max(axis=0), 1e-30)
+
+    Z0 = cinv_refined(pair, n_iter=0, interpret=True)
+    Z2 = cinv_refined(pair, n_iter=2, interpret=True)
+    rel = lambda Z: (np.abs(  # noqa: E731
+        np.asarray(Z[0, 0] + 1j * Z[0, 1], np.complex128) - expected)
+        / col[None, :]).max()
+    # unrefined f32 solve carries cond * eps_f32; two refinements must
+    # recover per-column accuracy comparable to the df32 kernels
+    assert rel(Z2) < 2e-5, (rel(Z0), rel(Z2))
+    assert rel(Z2) <= rel(Z0)
+
+
+def test_cgreen_refine_matches_df32():
+    """cgreen_refine == cgreen_from_two_udv_df32 on a DQMC-style factored
+    pair chain (same assembly, refined solve)."""
+    from detqmc_tpu.linalg.cudv import (cgreen_from_two_udv_df32,
+                                        cgreen_refine, cudv_decompose,
+                                        cudv_refactor, cpx_mm_last)
+
+    rng = np.random.default_rng(44)
+    n = 16
+
+    def chain(steps):
+        _, pair = _rand_pair(rng, 1, n)
+        f = cudv_decompose(pair)
+        for _ in range(steps):
+            _, B = _rand_pair(rng, 1, n)
+            f = cudv_refactor(cpx_mm_last(B * 0.6, f.U), f.d, f.V)
+        return f
+
+    left = chain(3)
+    right_t = chain(3)
+    G_ref = np.asarray(cgreen_from_two_udv_df32(left, right_t,
+                                                interpret=True))
+    G_ref64 = np.asarray(G_ref, np.float64)
+    G_new = np.asarray(cgreen_refine(left, right_t, interpret=True),
+                       np.float64)
+    scale = max(np.abs(G_ref64).max(), 1e-30)
+    assert np.abs(G_new - G_ref64).max() / scale < 5e-6
