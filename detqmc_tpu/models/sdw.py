@@ -433,12 +433,12 @@ class SDWModel:
             self._green_pallas = True
             self._green_interpret = jax.default_backend() != "tpu"
         elif cfg.green_kernel == "refine":
-            if not self.native:
-                raise ValueError("green_kernel='refine' is the native-"
-                                 "pair mixed-precision solve; it needs "
-                                 "fermion_repr='native_pair'")
+            if not (self.native or real_f32):
+                raise ValueError("green_kernel='refine' needs the "
+                                 "native-pair chain or a real f32 "
+                                 "fermion matrix (embed or opdim 1)")
             self._green_pallas = False
-            self._green_interpret = False
+            self._green_interpret = jax.default_backend() != "tpu"
             self._green_refine = True
         elif cfg.green_kernel in ("xla", "df32"):
             if cfg.green_kernel == "df32" and not self.native:
@@ -506,6 +506,13 @@ class SDWModel:
 
             return cgreen_from_two_udv_df32(
                 left, right_t, interpret=self._green_interpret)
+        if self._green_refine:
+            # real-representation refine (embed / opdim-1 sector)
+            from detqmc_tpu.linalg.udv import green_refine
+
+            return green_refine(left, right_t,
+                                n_iter=self.cfg.green_refine_iters,
+                                interpret=self._green_interpret)
         if self._green_pallas:
             from detqmc_tpu.linalg.udv import green_from_two_udv_df32
 
