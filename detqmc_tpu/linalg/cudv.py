@@ -280,6 +280,26 @@ def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
     return cpx_mm_last(_scale_cols_pair(U2, r2max), mid)
 
 
+def cgreen_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
+                           interpret: bool = False):
+    """Time-displaced G(tau, 0) for the complex pair chain on the
+    refinement path — the native twin of udv.green_tau_zero_refine:
+    X = Z (d1min V1) for the refined inner inverse Z (cinv_refined) plus
+    one Newton correction on the X system, all MXU matmuls."""
+    f64, f32 = jnp.float64, jnp.float32
+    inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
+        _green_inner(left, right_t)
+    rhs = _scale_rows_pair(d1min, left.V.astype(f64))
+    Z = cinv_refined(inner, n_iter=n_iter, interpret=interpret)
+    X = cpx_mm_last(Z, rhs.astype(f32))
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    r = (rhs - cpx_mm_last(inner, X.astype(f64), mm_fn=mm_f64)
+         ).astype(f32)
+    X = X + cpx_mm_last(Z, r)
+    return cpx_mm_last(_scale_cols_pair(U2, r2max), X)
+
+
 def clog_abs_det_one_plus_udv(f: UDV) -> jax.Array:
     """log|det(1 + U d V)| for a complex pair chain, no V inverse.
 

@@ -269,10 +269,11 @@ def inv_refined(inner, n_iter: int = 2, interpret: bool = False):
         from detqmc_tpu.linalg.pallas_trinv import trinv_big
 
         if n > MAX_N:
-            raise NotImplementedError(
-                "inv_refined: no column-lane real QR kernel above "
-                f"n={MAX_N} yet; use the df32 solver")
-        Q, R = qr_lanes(A32, interpret=interpret)
+            from detqmc_tpu.linalg.pallas_qr_big import qr_big
+
+            Q, R = qr_big(A32, interpret=interpret)
+        else:
+            Q, R = qr_lanes(A32, interpret=interpret)
         Rinv = trinv_big(R, interpret=interpret)
     else:
         Q, R = jnp.linalg.qr(A32)
@@ -376,6 +377,28 @@ def green_tau_zero_df32(left: UDV, right_t: UDV,
     rh, rl = _df.from_f64(rhs)
     mid = solve_inner_lanes_rhs(hi, lo, rh, rl, interpret=interpret)
     return mm(scale_cols(U2, r2max), mid)
+
+
+def green_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
+                          interpret: bool = False) -> jax.Array:
+    """Time-displaced G(tau, 0) on the refinement path: the same
+    factorization as green_tau_zero / green_tau_zero_df32, with the
+    dense-RHS solve inner^{-1} (d1min V1) done as X = Z rhs for the
+    refined inner inverse Z (inv_refined) plus one Newton correction on
+    the X system (X += Z (rhs - inner X), residual in Ozaki f64) — all
+    MXU matmuls, no df32 VPU kernel. The correction also absorbs the
+    f32 rounding of the f64 rhs."""
+    f64, f32 = jnp.float64, jnp.float32
+    inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
+        _green_inner_real(left, right_t)
+    rhs = scale_rows(d1min, left.V.astype(f64))
+    Z = inv_refined(inner, n_iter=n_iter, interpret=interpret)
+    X = mm(Z, rhs.astype(f32))
+    from detqmc_tpu.linalg.ozaki import mm_f64
+
+    r = (rhs - mm_f64(inner, X.astype(f64))).astype(f32)
+    X = X + mm(Z, r)
+    return mm(scale_cols(U2, r2max), X)
 
 
 def log_det_one_plus_udv(f: UDV) -> Tuple[jax.Array, jax.Array]:

@@ -735,9 +735,16 @@ class HubbardModel:
         right_t = build(transposed=True)  # entries k: (B_m..B_{ks+1})^H
         from detqmc_tpu.linalg.pallas_green_lanes import MAX_N
         from detqmc_tpu.linalg.udv import (green_tau_zero,
-                                           green_tau_zero_df32)
+                                           green_tau_zero_df32,
+                                           green_tau_zero_refine)
 
-        if self._green_pallas and N % 8 == 0 and N <= MAX_N:
+        if self._green_refine and N % 8 == 0 and N <= MAX_N:
+            # refined-inverse path: dense-RHS solve as MXU matmuls with
+            # one Newton correction (matches the equal-time green path)
+            gtz = lambda l_, r_: green_tau_zero_refine(  # noqa: E731
+                l_, r_, n_iter=self.cfg.green_refine_iters,
+                interpret=self._green_interpret)
+        elif self._green_pallas and N % 8 == 0 and N <= MAX_N:
             # df32 lane kernel with the dense RHS d1min V1: no
             # emulated-f64 QR in the unequal-time measurement
             gtz = lambda l_, r_: green_tau_zero_df32(  # noqa: E731

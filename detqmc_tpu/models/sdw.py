@@ -1875,12 +1875,26 @@ class SDWModel:
         right_t = self._build_right_stack(phi)
         if self.native:
             # native-complex solve against the dense RHS d1min V1 — the
-            # general-RHS variant of the complex df32 green kernels, so
-            # unequal-time measurements skip the rho embedding's (2n)^3
+            # refined MXU path when the equal-time green refines, else
+            # the general-RHS variant of the complex df32 green kernels;
+            # either way unequal-time skips the rho embedding's (2n)^3
+            if self._green_refine:
+                from detqmc_tpu.linalg.cudv import cgreen_tau_zero_refine
+
+                return cgreen_tau_zero_refine(
+                    left, right_t,
+                    n_iter=self.cfg.green_refine_iters,
+                    interpret=self._green_interpret)
             from detqmc_tpu.linalg.cudv import cgreen_tau_zero_df32
 
             return cgreen_tau_zero_df32(
                 left, right_t, interpret=self._green_interpret)
+        if self._green_refine:
+            from detqmc_tpu.linalg.udv import green_tau_zero_refine
+
+            return green_tau_zero_refine(
+                left, right_t, n_iter=self.cfg.green_refine_iters,
+                interpret=self._green_interpret)
         return green_tau_zero(left, right_t,
                               compute_dtype=self.stab_dtype_eff)
 
