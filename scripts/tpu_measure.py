@@ -1,0 +1,93 @@
+"""One-shot TPU measurement batch for the refine work.
+
+Runs (1) SDW refine-vs-df32 validation+timing at L=8 and L=4,
+(2) Hubbard refine-vs-df32 timing at the headline bench config.
+Prints results incrementally (no buffering) so progress is visible.
+Usage: python scripts/tpu_measure.py [quick]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from detqmc_tpu import compile_cache
+compile_cache.enable()
+
+QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
+
+
+def say(*a):
+    print(*a, flush=True)
+
+
+def timed_sweeps(model, W, label, n_timed=3, seed=1):
+    keys = jax.random.split(jax.random.key(seed), W)
+    states = jax.jit(jax.vmap(model.init_state))(keys)
+    step = jax.jit(jax.vmap(lambda st: model.sweep_pair(st, measure=True)))
+    t0 = time.perf_counter()
+    states, obs = jax.block_until_ready(step(states))
+    say(f"  [{label}] compile+warm {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        states, obs = step(states)
+    jax.block_until_ready(states.G)
+    dt = time.perf_counter() - t0
+    dev = np.asarray(states.green_dev)
+    say(f"  [{label}] {W * n_timed * 2 / dt:8.1f} sweeps/s  "
+        f"{dt / n_timed * 1e3:7.1f} ms/pair  "
+        f"green_dev med {np.median(dev):.2e} max {dev.max():.2e}")
+    return W * n_timed * 2 / dt
+
+
+def sdw_compare(L, W):
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    base = dict(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=4,
+                dtype="float32", checkerboard=(L >= 8),
+                fermion_repr="native_pair")
+    say(f"== SDW O(3) L={L} W={W} ==")
+    m_rf = SDWModel(SDWConfig(**base))               # auto -> refine
+    m_df = SDWModel(SDWConfig(**base, green_kernel="df32"))
+    keys = jax.random.split(jax.random.key(1), W)
+    st0 = jax.jit(jax.vmap(m_df.init_state))(keys)
+    g_df = jax.block_until_ready(
+        jax.jit(jax.vmap(m_df.refresh_from_field))(st0).G)
+    g_rf = jax.block_until_ready(
+        jax.jit(jax.vmap(m_rf.refresh_from_field))(st0).G)
+    d = np.abs(np.asarray(g_df) - np.asarray(g_rf)).max()
+    say(f"  refresh G diff refine-vs-df32: {d:.3e}")
+    r = timed_sweeps(m_rf, W, f"refine L={L}")
+    if not QUICK:
+        timed_sweeps(m_df, W, f"df32   L={L}")
+    return r
+
+
+def hubbard_compare():
+    from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+
+    say("== Hubbard L=8 beta=8 W=256 ==")
+    base = dict(L=8, U=4.0, beta=8.0, m=80, s=4, dtype="float32")
+    m_rf = HubbardModel(HubbardConfig(**base, green_kernel="refine"))
+    m_df = HubbardModel(HubbardConfig(**base))       # auto -> df32 kernel
+    r1 = timed_sweeps(m_rf, 256, "refine", n_timed=5)
+    r2 = timed_sweeps(m_df, 256, "df32", n_timed=5)
+    say(f"  speedup refine/df32: {r1 / r2:.2f}x")
+
+
+def main():
+    say(jax.devices())
+    sdw_compare(4, 128)
+    sdw_compare(8, 64)
+    hubbard_compare()
+
+
+if __name__ == "__main__":
+    main()

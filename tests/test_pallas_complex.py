@@ -365,3 +365,33 @@ def test_cgreen_refine_matches_df32():
                        np.float64)
     scale = max(np.abs(G_ref64).max(), 1e-30)
     assert np.abs(G_new - G_ref64).max() / scale < 5e-6
+
+
+def test_cgreen_tau_zero_refine_matches_rho_embedding():
+    """The refined-MXU time-displaced solve == the rho-embedded f64
+    green_tau_zero on a DQMC-style factored pair chain."""
+    from detqmc_tpu.linalg.cudv import (cgreen_tau_zero_refine,
+                                        cudv_decompose, cudv_refactor,
+                                        cpx_mm_last, embed_udv)
+    from detqmc_tpu.linalg.udv import green_tau_zero
+
+    rng = np.random.default_rng(71)
+    n = 16
+
+    def chain(steps):
+        _, pair = _rand_pair(rng, 1, n)
+        f = cudv_decompose(pair)
+        for _ in range(steps):
+            _, B = _rand_pair(rng, 1, n)
+            f = cudv_refactor(cpx_mm_last(B * 0.6, f.U), f.d, f.V)
+        return f
+
+    left = chain(3)
+    right_t = chain(3)
+    got = cgreen_tau_zero_refine(left, right_t, interpret=True)
+    G_rho = green_tau_zero(embed_udv(left), embed_udv(right_t),
+                           compute_dtype=jnp.float64)
+    exp_re = np.asarray(G_rho[..., :n, :n])
+    exp_im = np.asarray(G_rho[..., n:, :n])
+    np.testing.assert_allclose(np.asarray(got[:, 0]), exp_re, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[:, 1]), exp_im, atol=2e-5)
