@@ -35,6 +35,22 @@ def _scale_rows_pair(s, A):
     return s[..., None, :, None] * A
 
 
+def _big_cqr_impl():
+    """Column-lane complex QR implementation for n > the lane ceiling:
+    rank-1 (pallas_cqr) by default; DETQMC_TPU_QR=wy selects the blocked
+    compact-WY kernel (MXU trailing updates, pallas_cqr_wy) — opt-in
+    until measured faster on hardware."""
+    import os
+
+    if os.environ.get("DETQMC_TPU_QR", "") == "wy":
+        from detqmc_tpu.linalg.pallas_cqr_wy import cqr_wy
+
+        return cqr_wy
+    from detqmc_tpu.linalg.pallas_cqr import cqr_big
+
+    return cqr_big
+
+
 def cudv_decompose(A) -> UDV:
     """QR-based UdV of a pair matrix (..., 2, n, n): d positive real, the
     complex phase of R's diagonal folded into U (udv sign convention)."""
@@ -48,9 +64,7 @@ def cudv_decompose(A) -> UDV:
         else:
             # science-scale dims (complex 256+): column-lane layout whose
             # VMEM footprint scales with the batch tile, not n^2 * 128
-            from detqmc_tpu.linalg.pallas_cqr import cqr_big
-
-            Q, R = cqr_big(A)
+            Q, R = _big_cqr_impl()(A)
     else:
         cdt = jnp.complex64 if A.dtype == jnp.float32 else jnp.complex128
         Ac = (A[..., 0, :, :] + 1j * A[..., 1, :, :]).astype(cdt)
@@ -148,14 +162,13 @@ def cinv_refined(inner, n_iter: int = 2, interpret: bool = False):
     on_kernel = n % 8 == 0 and (interpret
                                 or jax.default_backend() == "tpu")
     if on_kernel:
-        from detqmc_tpu.linalg.pallas_cqr import cqr_big
         from detqmc_tpu.linalg.pallas_cqr_lanes import MAX_N, cqr_lanes
         from detqmc_tpu.linalg.pallas_ctrinv import ctrinv_big
 
         if n <= MAX_N:
             Q, R = cqr_lanes(A32, interpret=interpret)
         else:
-            Q, R = cqr_big(A32, interpret=interpret)
+            Q, R = _big_cqr_impl()(A32, interpret=interpret)
         Rinv = ctrinv_big(R, interpret=interpret)
     else:
         # off-TPU correctness path: jnp complex QR + triangular solve

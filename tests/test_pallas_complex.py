@@ -395,3 +395,24 @@ def test_cgreen_tau_zero_refine_matches_rho_embedding():
     exp_im = np.asarray(G_rho[..., n:, :n])
     np.testing.assert_allclose(np.asarray(got[:, 0]), exp_re, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got[:, 1]), exp_im, atol=2e-5)
+
+
+def test_cqr_wy_matches_rank1_kernel():
+    """Blocked compact-WY QR == the rank-1 kernel's factorization
+    (identical Householder convention) up to f32 rounding; exact upper
+    triangularity; n = 40 exercises a partial last panel and n = 136 the
+    multi-CHUNK lane ranges + multiple full panels."""
+    from detqmc_tpu.linalg.pallas_cqr_wy import cqr_wy
+
+    rng = np.random.default_rng(80)
+    for n in (40, 136):
+        A, pair = _rand_pair(rng, 2, n)
+        Q, R = cqr_wy(pair, interpret=True)
+        Qc = np.asarray(Q[:, 0] + 1j * Q[:, 1], np.complex128)
+        Rc = np.asarray(R[:, 0] + 1j * R[:, 1], np.complex128)
+        for k in range(2):
+            np.testing.assert_allclose(Qc[k].conj().T @ Qc[k], np.eye(n),
+                                       atol=1e-5)
+            assert np.abs(np.tril(Rc[k], -1)).max() == 0.0
+            Af32 = A[k].astype(np.complex64).astype(np.complex128)
+            np.testing.assert_allclose(Qc[k] @ Rc[k], Af32, atol=2e-4)
