@@ -78,3 +78,35 @@ def test_mrpt_cli_on_pt_run(tmp_path, capsys):
     # <phi^2>(r) must interpolate smoothly and decrease with r
     assert phi2[0] > phi2[-1]
     assert np.all(np.isfinite(data))
+
+
+def test_example_configs_parse_and_run(tmp_path, capsys):
+    """The shipped example job files parse into valid configs; the
+    Hubbard one drives a (tiny, overridden) end-to-end run."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ex = os.path.join(root, "examples")
+    from detqmc_tpu.config import (_HUBBARD_KEYS, _PT_KEYS, _SDW_KEYS,
+                                   build_driver_config, build_hubbard_config,
+                                   build_sdw_config, parse_args,
+                                   split_params)
+
+    p = parse_args(["--conf", os.path.join(ex, "hubbard_l8_beta8.conf")])
+    mp, dp, _ = split_params(p, _HUBBARD_KEYS)
+    build_hubbard_config(mp), build_driver_config(dp)
+    p = parse_args(["--conf", os.path.join(ex, "sdw_o3_l8.conf")])
+    mp, dp, _ = split_params(p, _SDW_KEYS)
+    build_sdw_config(mp), build_driver_config(dp)
+    p = parse_args(["--conf", os.path.join(ex, "pt_sdw_r_grid.conf")])
+    mp, dp, ep = split_params(p, _SDW_KEYS, _PT_KEYS)
+    build_sdw_config(mp), build_driver_config(dp)
+    assert ep["values"].count(",") == 7
+
+    rc = hubbard_main([
+        "--conf", os.path.join(ex, "hubbard_l8_beta8.conf"),
+        "L=4", "beta=2", "m=20", "walkers=2", "sweeps=4",
+        "thermalization=2", "saveInterval=4", "jkBlocks=2",
+        "dtype=float64", f"outdir={tmp_path}/ex_smoke"])
+    assert rc == 0
+    assert "occupancy" in capsys.readouterr().out
