@@ -69,9 +69,28 @@ def udv_decompose(A: jax.Array) -> UDV:
 
         if n <= MAX_N:
             Q, R = qr_lanes(A)
-            return _sign_fix(A, Q, R)
+        else:
+            # column-lane layout above the lane ceiling (embedded SDW
+            # at L >= 8 runs dim 512): VMEM scales with the batch tile
+            Q, R = _big_qr_impl()(A)
+        return _sign_fix(A, Q, R)
     Q, R = jnp.linalg.qr(A)
     return _sign_fix(A, Q, R)
+
+
+def _big_qr_impl():
+    """Column-lane real QR for n above the lane ceiling: rank-1
+    (pallas_qr_big) by default; DETQMC_TPU_QR=wy selects the blocked
+    compact-WY kernel (MXU trailing updates)."""
+    import os
+
+    if os.environ.get("DETQMC_TPU_QR", "") == "wy":
+        from detqmc_tpu.linalg.pallas_qr_wy import qr_wy
+
+        return qr_wy
+    from detqmc_tpu.linalg.pallas_qr_big import qr_big
+
+    return qr_big
 
 
 def _sign_fix(A, Q, R) -> UDV:
@@ -269,9 +288,7 @@ def inv_refined(inner, n_iter: int = 2, interpret: bool = False):
         from detqmc_tpu.linalg.pallas_trinv import trinv_big
 
         if n > MAX_N:
-            from detqmc_tpu.linalg.pallas_qr_big import qr_big
-
-            Q, R = qr_big(A32, interpret=interpret)
+            Q, R = _big_qr_impl()(A32, interpret=interpret)
         else:
             Q, R = qr_lanes(A32, interpret=interpret)
         Rinv = trinv_big(R, interpret=interpret)

@@ -95,3 +95,23 @@ def test_inv_refined_large_n():
     col = np.maximum(np.abs(expected).max(axis=0), 1e-30)
     rel = (np.abs(Z[0] - expected) / col[None, :]).max()
     assert rel < 5e-5, rel
+
+
+def test_qr_wy_matches_rank1_kernel():
+    """Real blocked compact-WY QR == the rank-1 column-lane kernel up to
+    f32 rounding; exact upper triangularity (n = 40: partial last panel;
+    n = 136: multi-CHUNK + multiple panels)."""
+    from detqmc_tpu.linalg.pallas_qr_wy import qr_wy
+
+    rng = np.random.default_rng(81)
+    for n in (40, 136):
+        A = jnp.asarray(rng.normal(size=(2, n, n)), jnp.float32)
+        Q, R = qr_wy(A, interpret=True)
+        Qn = np.asarray(Q, np.float64)
+        Rn = np.asarray(R, np.float64)
+        for k in range(2):
+            np.testing.assert_allclose(Qn[k].T @ Qn[k], np.eye(n),
+                                       atol=1e-5)
+            assert np.abs(np.tril(Rn[k], -1)).max() == 0.0
+            np.testing.assert_allclose(Qn[k] @ Rn[k], np.asarray(A[k]),
+                                       atol=2e-4)
