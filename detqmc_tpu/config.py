@@ -96,6 +96,8 @@ _DRIVER_KEYS = {
     "meshDevices": int,
     "timedisplaced": _to_bool,
     "timedisplacedSlices": _to_bool,
+    "autoStabilize": _to_bool,
+    "greenDevThreshold": float,
 }
 
 _DRIVER_FIELD = {
@@ -113,6 +115,8 @@ _DRIVER_FIELD = {
     "meshDevices": "mesh_devices",
     "timedisplaced": "timedisplaced",
     "timedisplacedSlices": "timedisplaced_slices",
+    "autoStabilize": "auto_stabilize",
+    "greenDevThreshold": "green_dev_threshold",
 }
 
 _HUBBARD_KEYS = {

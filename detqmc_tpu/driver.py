@@ -65,6 +65,15 @@ class DriverConfig:
     target_acc_ratio: float = 0.5
     tune_proposals: bool = True
     dump_config_stream: bool = False  # phi .binarystream dumps per block
+    # auto-stabilization: when the walker-median wrapped-vs-stabilized
+    # Green deviation exceeds green_dev_threshold after a thermalization
+    # block, step the stabilization interval s down to the next divisor
+    # of m (<= s/2) and rebuild the programs — the automated form of the
+    # reference's "decrease s when the consistency check trips" guidance
+    # (SURVEY.md §5 item 1). Fires during thermalization only, so the
+    # measurement program stays fixed.
+    auto_stabilize: bool = False
+    green_dev_threshold: float = 1e-3
 
     @property
     def n_measurements(self) -> int:
@@ -139,6 +148,14 @@ class DetQMC:
         self._phi_stream = None
         self._consistency = ConsistencyLogger(params.outdir, self.meta)
 
+        self._build_programs()
+
+        self.states = None
+
+    def _build_programs(self) -> None:
+        """(Re)build the jitted device programs for the current model —
+        called from __init__ and after an auto-stabilize s change."""
+        model, params = self.model, self.p
         # vmapped device programs, compiled lazily on first use
         vm = jax.vmap
         self._init_fn = jax.jit(vm(model.init_state))
@@ -186,8 +203,6 @@ class DetQMC:
             self._timedisp_fn = jax.jit(vm(_ft.partial(
                 model.measure_time_displaced,
                 per_slice=params.timedisplaced_slices)))
-
-        self.states = None
 
     # -- setup / resume -----------------------------------------------------
     def _build_metadata(self, extra: Metadata) -> Metadata:
@@ -277,6 +292,41 @@ class DetQMC:
         s1 = s0 + sweeps_per_unit
         return jnp.asarray((s1 // gui) > (s0 // gui))
 
+    # -- auto-stabilization ---------------------------------------------------
+    def _maybe_auto_stabilize(self) -> None:
+        """Step cfg.s down when the wrapped-G drift trips the threshold
+        (thermalization only — see DriverConfig.auto_stabilize)."""
+        if (not self.p.auto_stabilize
+                or not hasattr(self.states, "green_dev")):
+            return
+        dev = float(np.median(np.asarray(self.states.green_dev)))
+        s = int(getattr(self.model.cfg, "s", 1))
+        if dev <= self.p.green_dev_threshold or s <= 1:
+            return
+        m = int(self.model.cfg.m)
+        new_s = max((d for d in range(1, s) if m % d == 0
+                     and d <= max(1, s // 2)), default=1)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "auto_stabilize: green_dev median %.2e > %.1e; "
+            "s %d -> %d (model programs rebuilt)",
+            dev, self.p.green_dev_threshold, s, new_s)
+        from detqmc_tpu.checkpoint import RECOMPUTED
+
+        old = self.states
+        self.model = type(self.model)(
+            dataclasses.replace(self.model.cfg, s=new_s))
+        self._build_programs()
+        blank = self._init_fn(jax.random.split(
+            jax.random.key(self.p.seed), self.p.n_walkers))
+        keep = {n: getattr(old, n) for n in old._fields
+                if n not in RECOMPUTED}
+        self.states = self._refresh_fn(blank._replace(**keep))
+        self._shard_states()
+        self.meta["s"] = str(new_s)
+        self.meta["autoStabilized"] = "true"
+
     # -- wall-time ------------------------------------------------------------
     def _out_of_time(self, margin: float = 0.0) -> bool:
         if self.p.walltime_secs <= 0:
@@ -331,6 +381,7 @@ class DetQMC:
                 self.states = self.states._replace(
                     box_width=jnp.asarray(new_w,
                                           self.states.box_width.dtype))
+            self._maybe_auto_stabilize()
             if self._out_of_time(margin=(t_block or 0.0)):
                 self.save()
                 self._stopped_early = True

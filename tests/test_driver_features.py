@@ -117,3 +117,26 @@ def test_timedisplaced_per_slice_driver(tmp_path):
     res = qmc.results() if hasattr(qmc, "results") else qmc.handler.results()
     td = qmc.handler.results()["timeDisplacedDev"]
     assert 0.0 <= td[0] < 1e-8   # fp64 wrap drift is tiny
+
+
+def test_auto_stabilize_steps_s_down():
+    """auto_stabilize: an absurdly long stabilization interval (s = m)
+    trips the green_dev threshold during thermalization, the driver
+    steps s down to the next divisor of m and rebuilds its programs,
+    and the run completes with the drift reduced (reference: the
+    "decrease s when the consistency check trips" guidance behind
+    DetModelLoggingParams, SURVEY.md §5 item 1)."""
+    model = HubbardModel(HubbardConfig(L=2, U=4.0, beta=4.0, m=40, s=40,
+                                       dtype="float32"))
+    qmc = DetQMC(model, DriverConfig(
+        sweeps=4, thermalization=8, n_walkers=2, block_meas=4,
+        auto_stabilize=True, green_dev_threshold=1e-6, seed=1))
+    qmc.run()
+    assert qmc.model.cfg.s < 40
+    assert qmc.model.cfg.m % qmc.model.cfg.s == 0
+    assert qmc.meta.get("autoStabilized") == "true"
+    assert qmc.handler.n_samples() == 4
+    # the rebuilt chain keeps the walkers' fields: states are valid and
+    # the post-rebuild drift reflects the smaller interval
+    dev = float(np.median(np.asarray(qmc.states.green_dev)))
+    assert np.isfinite(dev)
