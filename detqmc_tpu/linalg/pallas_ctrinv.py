@@ -109,9 +109,10 @@ def _call_batched(BTr, BTi, *, interpret: bool):
     mat = functools.partial(pl.BlockSpec, (T, n, n),
                             lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((Bt, n, n), jnp.float32)
+    kern = _kernel_blocked if _use_blocked() else _kernel
     with jax.enable_x64(False):
         outs = pl.pallas_call(
-            functools.partial(_kernel, n=n),
+            functools.partial(kern, n=n),
             grid=(Bt // T,),
             out_shape=(shp, shp),
             in_specs=[mat(), mat()],
@@ -121,6 +122,92 @@ def _call_batched(BTr, BTi, *, interpret: bool):
             interpret=interpret,
         )(BTr, BTi)
     return outs
+
+
+BLOCK = 32
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b_, ca: int, cb: int):
+    return jax.lax.dot_general(
+        a, b_, (((ca,), (cb,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _kernel_blocked(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
+    """Blocked back-substitution: the per-column rank-1 updates stay
+    inside a BLOCK-column panel (VPU, O(b^2 n) per panel); each panel's
+    effect on all rows above lands as ONE complex MXU product
+    M[0:J, :] -= R[0:J, Jcols] X[Jrows, :] — the triangular-solve
+    analogue of the compact-WY QR split. O(b n^2) VPU + O(n^3/2) MXU."""
+    f32 = Xr_out.dtype
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    eye = (rows2 == cols2).astype(f32)
+    Xr_out[...] = jnp.broadcast_to(eye, Xr_out.shape)
+    Xi_out[...] = jnp.zeros_like(Xi_out)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    b = BLOCK
+
+    for j0 in reversed(range(0, n, b)):
+        jb = min(b, n - j0)
+        c0 = (j0 // CHUNK) * CHUNK
+        szl = n - c0
+        ls = pl.ds(c0, szl)
+        bs = pl.ds(j0, jb)                       # panel rows of X / M
+
+        def step(kk, _, j0=j0, jb=jb, ls=ls, bs=bs):
+            j = jnp.int32(j0 + jb - 1) - kk      # descend in panel
+            onehot = lane_full == j
+            Brow_r = BTr_in[:, pl.ds(j, 1), :]   # (T, 1, n)
+            Brow_i = BTi_in[:, pl.ds(j, 1), :]
+            ar = jnp.sum(jnp.where(onehot, Brow_r, 0.0), -1, keepdims=True)
+            ai = jnp.sum(jnp.where(onehot, Brow_i, 0.0), -1, keepdims=True)
+            a2 = ar * ar + ai * ai
+            g = (a2 == 0).astype(f32)
+            ia2 = 1.0 / (a2 + g)
+            ivr = ar * ia2
+            ivi = -ai * ia2
+            Mjr = Xr_out[:, pl.ds(j, 1), ls]
+            Mji = Xi_out[:, pl.ds(j, 1), ls]
+            xjr = Mjr * ivr - Mji * ivi
+            xji = Mjr * ivi + Mji * ivr
+            Xr_out[:, pl.ds(j, 1), ls] = xjr
+            Xi_out[:, pl.ds(j, 1), ls] = xji
+            # within-panel rank-1: rows [j0, j) only
+            j0i = jnp.int32(j0)
+            in_panel_lt = (lane_full >= j0i) & (lane_full < j)
+            Rcr = jnp.swapaxes(jnp.where(in_panel_lt, Brow_r, 0.0),
+                               -1, -2)[:, j0:j0 + jb, :]     # (T, jb, 1)
+            Rci = jnp.swapaxes(jnp.where(in_panel_lt, Brow_i, 0.0),
+                               -1, -2)[:, j0:j0 + jb, :]
+            Xr_out[:, bs, ls] = Xr_out[:, bs, ls] - (Rcr * xjr - Rci * xji)
+            Xi_out[:, bs, ls] = Xi_out[:, bs, ls] - (Rcr * xji + Rci * xjr)
+            return ()
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(jb), step, ())
+
+        # panel's effect on ALL rows above: one complex MXU product.
+        # R[0:j0, Jcols] is B's panel sublanes restricted to lanes < j0
+        # (a (jb, j0) slab); X[Jrows, :] has support on lanes >= c0.
+        if j0 > 0:
+            ts = pl.ds(0, j0)
+            for t in range(Xr_out.shape[0]):
+                Rbr = BTr_in[t, bs, :j0]         # (jb, j0) = R[0:j0, J]^T
+                Rbi = BTi_in[t, bs, :j0]
+                Xjr = Xr_out[t, bs, ls]          # (jb, szl)
+                Xji = Xi_out[t, bs, ls]
+                # U = R[0:j0, J] . X_J : contract panel dim (dim0 x dim0)
+                U_r = _dot(Rbr, Xjr, 0, 0) - _dot(Rbi, Xji, 0, 0)
+                U_i = _dot(Rbr, Xji, 0, 0) + _dot(Rbi, Xjr, 0, 0)
+                Xr_out[t, ts, ls] = Xr_out[t, ts, ls] - U_r
+                Xi_out[t, ts, ls] = Xi_out[t, ts, ls] - U_i
+
+
+def _use_blocked() -> bool:
+    import os
+
+    return os.environ.get("DETQMC_TPU_TRINV", "") == "blocked"
 
 
 @functools.lru_cache(maxsize=None)

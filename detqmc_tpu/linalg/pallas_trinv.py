@@ -75,9 +75,10 @@ def _call_batched(BT, *, interpret: bool):
     mat = functools.partial(pl.BlockSpec, (T, n, n),
                             lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((Bt, n, n), jnp.float32)
+    kern = _kernel_blocked if _use_blocked() else _kernel
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            functools.partial(_kernel, n=n),
+            functools.partial(kern, n=n),
             grid=(Bt // T,),
             out_shape=shp,
             in_specs=[mat()],
@@ -87,6 +88,64 @@ def _call_batched(BT, *, interpret: bool):
             interpret=interpret,
         )(BT)
     return out
+
+
+BLOCK = 32
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _kernel_blocked(BT_in, X_out, *, n: int):
+    """Blocked back-substitution (real twin of pallas_ctrinv's blocked
+    kernel): rank-1 updates stay inside a BLOCK-column panel; each
+    panel's effect on all rows above is one MXU product."""
+    f32 = X_out.dtype
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    eye = (rows2 == cols2).astype(f32)
+    X_out[...] = jnp.broadcast_to(eye, X_out.shape)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    b = BLOCK
+
+    for j0 in reversed(range(0, n, b)):
+        jb = min(b, n - j0)
+        c0 = (j0 // CHUNK) * CHUNK
+        szl = n - c0
+        ls = pl.ds(c0, szl)
+        bs = pl.ds(j0, jb)
+
+        def step(kk, _, j0=j0, jb=jb, ls=ls, bs=bs):
+            j = jnp.int32(j0 + jb - 1) - kk
+            onehot = lane_full == j
+            Brow = BT_in[:, pl.ds(j, 1), :]
+            a = jnp.sum(jnp.where(onehot, Brow, 0.0), -1, keepdims=True)
+            g = (a == 0).astype(f32)
+            inv = 1.0 / (a + g)
+            xj = X_out[:, pl.ds(j, 1), ls] * inv
+            X_out[:, pl.ds(j, 1), ls] = xj
+            j0i = jnp.int32(j0)
+            in_panel_lt = (lane_full >= j0i) & (lane_full < j)
+            Rc = jnp.swapaxes(jnp.where(in_panel_lt, Brow, 0.0),
+                              -1, -2)[:, j0:j0 + jb, :]
+            X_out[:, bs, ls] = X_out[:, bs, ls] - Rc * xj
+            return ()
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(jb), step, ())
+
+        if j0 > 0:
+            ts = pl.ds(0, j0)
+            for t in range(X_out.shape[0]):
+                Rb = BT_in[t, bs, :j0]           # (jb, j0) = R[0:j0, J]^T
+                Xj = X_out[t, bs, ls]            # (jb, szl)
+                U = jax.lax.dot_general(
+                    Rb, Xj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI)
+                X_out[t, ts, ls] = X_out[t, ts, ls] - U
+
+
+def _use_blocked() -> bool:
+    import os
+
+    return os.environ.get("DETQMC_TPU_TRINV", "") == "blocked"
 
 
 @functools.lru_cache(maxsize=None)

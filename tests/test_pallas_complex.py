@@ -416,3 +416,25 @@ def test_cqr_wy_matches_rank1_kernel():
             assert np.abs(np.tril(Rc[k], -1)).max() == 0.0
             Af32 = A[k].astype(np.complex64).astype(np.complex128)
             np.testing.assert_allclose(Qc[k] @ Rc[k], Af32, atol=2e-4)
+
+
+def test_ctrinv_blocked_matches_numpy(monkeypatch):
+    """DETQMC_TPU_TRINV=blocked (complex): panel back-substitution +
+    complex MXU block updates."""
+    monkeypatch.setenv("DETQMC_TPU_TRINV", "blocked")
+    import detqmc_tpu.linalg.pallas_ctrinv as m
+
+    rng = np.random.default_rng(91)
+    for n in (24, 136):
+        A = rng.normal(size=(2, n, n)) + 1j * rng.normal(size=(2, n, n))
+        R = np.triu(A) + np.diag(np.exp(np.linspace(0.0, -4.0, n)))[None]
+        pair = jnp.asarray(np.stack([R.real, R.imag], 1), jnp.float32)
+        m._make_ctrinv.cache_clear()
+        X = m.ctrinv_big(pair, interpret=True)
+        Xc = np.asarray(X[:, 0] + 1j * X[:, 1], np.complex128)
+        for b in range(2):
+            expected = np.linalg.inv(R[b].astype(np.complex64))
+            assert np.abs(np.tril(Xc[b], -1)).max() == 0.0
+            col = np.maximum(np.abs(expected).max(axis=0), 1e-30)
+            assert (np.abs(Xc[b] - expected) / col[None, :]).max() < 5e-5
+    m._make_ctrinv.cache_clear()

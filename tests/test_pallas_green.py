@@ -214,3 +214,25 @@ def test_green_refine_matches_f64():
                        np.float64)
     scale = max(np.abs(G_exact).max(), 1e-30)
     assert np.abs(G_new - G_exact).max() / scale < 2e-6
+
+
+def test_trinv_blocked_matches_numpy(monkeypatch):
+    """DETQMC_TPU_TRINV=blocked: panel back-substitution + MXU block
+    updates computes the same triangular inverse."""
+    monkeypatch.setenv("DETQMC_TPU_TRINV", "blocked")
+    import detqmc_tpu.linalg.pallas_trinv as m
+
+    rng = np.random.default_rng(90)
+    for n in (24, 136):
+        R = np.triu(rng.normal(size=(2, n, n))) \
+            + np.diag(np.exp(np.linspace(0.0, -4.0, n)))[None]
+        # fresh trace per env value: drop the cached custom_vmap builder
+        m._make_trinv.cache_clear()
+        X = m.trinv_big(jnp.asarray(R, jnp.float32), interpret=True)
+        for b in range(2):
+            expected = np.linalg.inv(R[b].astype(np.float32))
+            got = np.asarray(X[b], np.float64)
+            assert np.abs(np.tril(got, -1)).max() == 0.0
+            col = np.maximum(np.abs(expected).max(axis=0), 1e-30)
+            assert (np.abs(got - expected) / col[None, :]).max() < 2e-4
+    m._make_trinv.cache_clear()
