@@ -224,7 +224,9 @@ def test_trinv_blocked_matches_numpy(monkeypatch):
 
     rng = np.random.default_rng(90)
     for n in (24, 136):
-        R = np.triu(rng.normal(size=(2, n, n))) \
+        # 0.2x off-diagonal keeps the (exponentially growing) inverse of
+        # a random triangular matrix within f32 range at n = 136
+        R = 0.2 * np.triu(rng.normal(size=(2, n, n)), 1) \
             + np.diag(np.exp(np.linspace(0.0, -4.0, n)))[None]
         # fresh trace per env value: drop the cached custom_vmap builder
         m._make_trinv.cache_clear()
