@@ -47,13 +47,22 @@ def timed(model, W, label, n_timed=3, measure=True):
 
 
 def main():
+    # NOTE: DETQMC_TPU_QR=wy / DETQMC_TPU_TRINV=blocked select the
+    # MXU-blocked QR / triangular-inverse kernels — set in the
+    # environment BEFORE launching to profile those variants.
     base = dict(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=4,
                 dtype="float32", checkerboard=True)
     model = SDWModel(SDWConfig(**base))
     print(f"L={L} W={W} m=40 s=4 opdim=3  repr={model.fermion_repr} "
-          f"native={model.native}")
+          f"native={model.native} refine={model._green_refine}")
     t_full = timed(model, W, "full sweep_pair (measure=True)")
     t_nomeas = timed(model, W, "measure=False")
+    # df32 green kernel instead of the refined solve
+    m5 = SDWModel(SDWConfig(**{**base, "green_kernel": "df32"}))
+    timed(m5, W, "df32 green (no refine)")
+    # refinement-iteration sensitivity
+    m6 = SDWModel(SDWConfig(**{**base, "green_refine_iters": 1}))
+    timed(m6, W, "refine n_iter=1")
     # dense hopping instead of checkerboard
     m2 = SDWModel(SDWConfig(**{**base, "checkerboard": False}))
     timed(m2, W, "dense hopping (no checkerboard)")
