@@ -82,11 +82,13 @@ def _bench_hubbard():
     return value
 
 
-def _bench_sdw_o3(L, W, n_timed=3, checkerboard=False):
+def _bench_sdw_o3(L, W, n_timed=3, checkerboard=False,
+                  green_kernel="auto"):
     from detqmc_tpu.models.sdw import SDWConfig, SDWModel
 
     cfg = SDWConfig(L=L, opdim=3, r=0.5, beta=SDW_BETA, m=SDW_M,
-                    s=SDW_S, dtype="float32", checkerboard=checkerboard)
+                    s=SDW_S, dtype="float32", checkerboard=checkerboard,
+                    green_kernel=green_kernel)
     model = SDWModel(cfg)
     keys = jax.random.split(jax.random.key(1), W)
     states = jax.jit(jax.vmap(model.init_state))(keys)
@@ -104,10 +106,24 @@ def _bench_sdw_o3(L, W, n_timed=3, checkerboard=False):
     return value
 
 
+def _sdw_with_fallback(L, W, **kw):
+    """Native auto = the refined mixed-precision solve; if it fails on
+    this chip (compile or accuracy gate), fall back to the df32 kernels
+    — a bench number always lands."""
+    try:
+        return _bench_sdw_o3(L, W, **kw)
+    except Exception as e:  # noqa: BLE001 — any failure falls back
+        import sys
+
+        print(f"# refine path failed at L={L} ({type(e).__name__}); "
+              "falling back to green_kernel=df32", file=sys.stderr)
+        return _bench_sdw_o3(L, W, green_kernel="df32", **kw)
+
+
 def main() -> None:
     value = _bench_hubbard()
-    sdw_value = _bench_sdw_o3(SDW_L, SDW_W)
-    sdw8_value = _bench_sdw_o3(8, SDW8_W, checkerboard=True)
+    sdw_value = _sdw_with_fallback(SDW_L, SDW_W)
+    sdw8_value = _sdw_with_fallback(8, SDW8_W, checkerboard=True)
 
     print(json.dumps({
         "metric": f"hubbard_L{L}_beta{int(BETA)}_sweeps_per_sec_per_chip",
