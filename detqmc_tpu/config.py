@@ -19,7 +19,7 @@ walltimeSecs, rngSeed, outdir, walkers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 from detqmc_tpu.driver import DriverConfig
 from detqmc_tpu.metadata import string_to_metadata

@@ -32,7 +32,6 @@ true f64 matmul's backward error).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -43,7 +43,6 @@ from detqmc_tpu.linalg.udv import (
     UDV,
     green_from_two_udv,
     log_det_one_plus_udv,
-    udv_eye,
     udv_refactor,
 )
 from detqmc_tpu.precision import mm

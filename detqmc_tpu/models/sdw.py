@@ -49,7 +49,6 @@ from detqmc_tpu.lattice import kinetic_exponentials
 from detqmc_tpu.linalg.udv import (
     UDV,
     green_from_two_udv,
-    udv_eye,
     udv_refactor,
 )
 from detqmc_tpu.precision import mm
