@@ -43,7 +43,10 @@ N_TIMED_PAIRS = 5
 # both on the native-complex chain (complex QR + complex df32 green
 # kernels, rolled/chunked fused update kernel, L=8 adds checkerboard).
 SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
-SDW8_W = 64
+# W=128 fills the 128-lane kernels (W=64 padded them to half occupancy;
+# the fused update kernel's cost is W-independent up to 128 lanes).
+# Memory: ~17 MB/walker * 128 ~ 2.2 GB << 16 GB HBM.
+SDW8_W = 128
 
 
 def _bench_hubbard():

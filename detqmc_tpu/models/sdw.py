@@ -1334,9 +1334,10 @@ class SDWModel:
             A_re * re - A_im * im, precision="highest")
         ones4 = jnp.ones((4,), cfg.jdtype)
         wz = jnp.asarray([0.5, -0.5, 0.5, -0.5], cfg.jdtype)
-        nn = n_i[:, None] * n_i[None, :] + exch(ones4)
+        exch_nn, exch_zz = exch(ones4), exch(wz)   # reused by the SFs below
+        nn = n_i[:, None] * n_i[None, :] + exch_nn
         sz_i = jnp.einsum("o,on->n", wz, n_oi)
-        szsz = sz_i[:, None] * sz_i[None, :] + exch(wz)
+        szsz = sz_i[:, None] * sz_i[None, :] + exch_zz
         # onsite s-wave pairing Delta_i = sum_b c_{b dn, i} c_{b up, i}:
         # P = sum_{b,b'} [<c†_up c_up><c†_dn c_dn> - <c†_up c_dn><c†_dn
         # c_up>]; the direct term survives only band-diagonally (inter-
@@ -1354,8 +1355,8 @@ class SDWModel:
         c_zz = self._translation_average(szsz)
         c_pair = self._translation_average(pair)
         # structure factors: FT of the connected (exchange) parts
-        conn_nn = self._translation_average(exch(ones4))
-        conn_zz = self._translation_average(exch(wz))
+        conn_nn = self._translation_average(exch_nn)
+        conn_zz = self._translation_average(exch_zz)
         return {
             "chargeCorrelation": c_nn,
             "chargeStructureFactor": mm(self.four_cos,
