@@ -142,6 +142,9 @@ class SDWConfig:
     # "auto" = on TPU for f32 phase-free representations (embedded
     # opdim >= 2, or the real opdim-1 sector); "pallas" forces it
     # (interpret mode off-TPU; requires a phase-free representation);
+    # "delayed" = the chunked variant (linalg/pallas_sdw_delayed): the
+    # kernel emits rank-q factor buffers per `delay`-site chunk and the
+    # O(h^2) Green updates ride the MXU as batched matmul flushes;
     # "scan" forces the sequential lax.scan path
     update_kernel: str = "auto"
     dtype: str = "float32"
@@ -164,9 +167,10 @@ class SDWConfig:
         if self.spinProposalMethod != "box" and self.opdim == 1:
             raise ValueError("rotate/scale proposals need opdim >= 2 "
                              "(an Ising field has no direction to rotate)")
-        if self.update_kernel not in ("auto", "pallas", "scan"):
-            raise ValueError("update_kernel must be auto|pallas|scan, "
-                             f"got {self.update_kernel!r}")
+        if self.update_kernel not in ("auto", "pallas", "delayed",
+                                      "scan"):
+            raise ValueError("update_kernel must be auto|pallas|delayed|"
+                             f"scan, got {self.update_kernel!r}")
 
     @property
     def dtau(self) -> float:
@@ -454,6 +458,7 @@ class SDWModel:
         # symmetry, i.e. embed; the non-embedded full-complex CPU path
         # keeps the scan)
         phase_free = self.embed or self.reduced or self.native
+        self._update_delayed = False
         if cfg.update_kernel == "auto":
             self._update_pallas = (
                 (jax.default_backend() == "tpu"
@@ -463,19 +468,24 @@ class SDWModel:
                 or (self.native and not cfg.turnoffFermions))
             self._update_interpret = (self.native and
                                       jax.default_backend() != "tpu")
-        elif cfg.update_kernel == "pallas":
+        elif cfg.update_kernel in ("pallas", "delayed"):
             if not phase_free:
                 raise ValueError(
-                    "update_kernel='pallas' needs a phase-free fermion "
-                    "representation (embedded or reduced)")
+                    f"update_kernel={cfg.update_kernel!r} needs a "
+                    "phase-free fermion representation (embedded or "
+                    "reduced)")
             if cfg.turnoffFermions:
-                raise ValueError("update_kernel='pallas' is a fermionic "
-                                 "update path (turnoffFermions is set)")
+                raise ValueError(
+                    f"update_kernel={cfg.update_kernel!r} is a fermionic "
+                    "update path (turnoffFermions is set)")
             self._update_pallas = True
+            self._update_delayed = cfg.update_kernel == "delayed"
             self._update_interpret = jax.default_backend() != "tpu"
         else:
             self._update_pallas = False
             self._update_interpret = False
+        # chunk size K for the delayed kernel (reference delaySteps)
+        self._delay_k = cfg.delay if cfg.delay > 0 else 8
         if self.native and not self._update_pallas \
                 and not cfg.turnoffFermions:
             raise ValueError(
@@ -1013,11 +1023,22 @@ class SDWModel:
             gre, gim = G, None
 
         cast = lambda x: None if x is None else x.astype(f32)  # noqa: E731
-        gre_n, gim_n, phi_l_n, acc_cnt = slice_update_sdw(
-            cast(gre), cast(gim), cast(phi_l0), cast(phi_new), cast(lhs),
-            cast(delta_re), cast(delta_im),
-            nb=self._nb_tuple, dtau=cfg.dtau, c_det=self._c_det,
-            interpret=self._update_interpret)
+        if self._update_delayed:
+            from detqmc_tpu.linalg.pallas_sdw_delayed import (
+                slice_update_sdw_delayed,
+            )
+
+            gre_n, gim_n, phi_l_n, acc_cnt = slice_update_sdw_delayed(
+                cast(gre), cast(gim), cast(phi_l0), cast(phi_new),
+                cast(lhs), cast(delta_re), cast(delta_im),
+                nb=self._nb_tuple, dtau=cfg.dtau, c_det=self._c_det,
+                delay=self._delay_k, interpret=self._update_interpret)
+        else:
+            gre_n, gim_n, phi_l_n, acc_cnt = slice_update_sdw(
+                cast(gre), cast(gim), cast(phi_l0), cast(phi_new),
+                cast(lhs), cast(delta_re), cast(delta_im),
+                nb=self._nb_tuple, dtau=cfg.dtau, c_det=self._c_det,
+                interpret=self._update_interpret)
         if self.native:
             G = jnp.stack([gre_n, gim_n]).astype(G.dtype)
         elif self.embed:

@@ -70,6 +70,33 @@ def sdw_compare(L, W):
     return r
 
 
+def sdw_delayed_compare(L, W, delays=(8, 16)):
+    """Immediate vs delayed-chunk update kernel A/B at the bench config
+    (native chain, refine green): the delayed kernel trades the per-site
+    O(h^2) VPU update for O(h*Kq) corrections + MXU flushes."""
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    base = dict(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=4,
+                dtype="float32", checkerboard=(L >= 8),
+                fermion_repr="native_pair")
+    say(f"== SDW O(3) L={L} W={W} update-kernel A/B ==")
+    m_im = SDWModel(SDWConfig(**base))
+    keys = jax.random.split(jax.random.key(1), W)
+    st0 = jax.jit(jax.vmap(m_im.init_state))(keys)
+    g_im = jax.block_until_ready(jax.jit(jax.vmap(
+        lambda st: m_im.sweep_pair(st, measure=False)[0].G))(st0))
+    r_im = timed_sweeps(m_im, W, f"immediate L={L}")
+    for K in delays:
+        m_dl = SDWModel(SDWConfig(**base, update_kernel="delayed",
+                                  delay=K))
+        g_dl = jax.block_until_ready(jax.jit(jax.vmap(
+            lambda st: m_dl.sweep_pair(st, measure=False)[0].G))(st0))
+        d = np.abs(np.asarray(g_im) - np.asarray(g_dl)).max()
+        say(f"  one-pair G diff delayed(K={K})-vs-immediate: {d:.3e}")
+        r_dl = timed_sweeps(m_dl, W, f"delayed K={K} L={L}")
+        say(f"  speedup delayed(K={K})/immediate: {r_dl / r_im:.2f}x")
+
+
 def hubbard_compare():
     from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
 
@@ -85,8 +112,10 @@ def hubbard_compare():
 def main():
     say(jax.devices())
     sdw_compare(4, 128)
-    sdw_compare(8, 64)
+    sdw_compare(8, 128)
     hubbard_compare()
+    sdw_delayed_compare(8, 128)
+    sdw_delayed_compare(4, 128, delays=(8,))
 
 
 if __name__ == "__main__":
