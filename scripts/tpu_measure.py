@@ -109,6 +109,21 @@ def hubbard_compare():
     say(f"  speedup refine/df32: {r1 / r2:.2f}x")
 
 
+def sdw_walker_scaling(L=4, Ws=(128, 256, 512)):
+    """Aggregate sweeps/s vs walker count on the native chain: the lane
+    kernels pad to 128-lane groups, so W > 128 runs Gp > 1 grid steps —
+    fixed per-call costs amortize until HBM/VMEM pressure bites."""
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    base = dict(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=4,
+                dtype="float32", checkerboard=(L >= 8),
+                fermion_repr="native_pair")
+    say(f"== SDW O(3) L={L} walker scaling ==")
+    model = SDWModel(SDWConfig(**base))
+    for W in Ws:
+        timed_sweeps(model, W, f"W={W}")
+
+
 def main():
     say(jax.devices())
     sdw_compare(4, 128)
@@ -116,6 +131,8 @@ def main():
     hubbard_compare()
     sdw_delayed_compare(8, 128)
     sdw_delayed_compare(4, 128, delays=(8,))
+    if not QUICK:
+        sdw_walker_scaling()
 
 
 if __name__ == "__main__":
