@@ -87,6 +87,25 @@ def test_delayed_native_pair():
                                atol=2e-5)
 
 
+def test_delayed_native_full_sweep_pair():
+    """Native-pair representation through the whole nested-scan sweep
+    machinery (pair stacks, wraps, stabilization) with the delayed
+    kernel: same trajectory as the immediate kernel."""
+    kw = dict(L=2, opdim=3, r=0.5, beta=1.0, m=4, s=2, dtype="float32",
+              fermion_repr="native_pair")
+    mi = SDWModel(SDWConfig(update_kernel="pallas", **kw))
+    md = SDWModel(SDWConfig(update_kernel="delayed", delay=2, **kw))
+    st0 = mi.init_state(jax.random.key(4))
+    sti, obsi = mi.sweep_pair(st0, measure=True)
+    std, obsd = md.sweep_pair(st0, measure=True)
+    np.testing.assert_allclose(np.asarray(sti.phi), np.asarray(std.phi),
+                               atol=3e-5)
+    assert float(jnp.abs(obsi.acceptance - obsd.acceptance)) < 1e-6
+    np.testing.assert_allclose(float(obsi.phiSquared),
+                               float(obsd.phiSquared), atol=1e-4)
+    assert float(std.green_dev) < 1e-3
+
+
 def test_delayed_vmapped_walkers():
     """custom_vmap wrapper: a vmapped batch (padded to the 128-lane
     group) must equal per-walker runs."""
