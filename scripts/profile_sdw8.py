@@ -60,6 +60,11 @@ def main():
     # df32 green kernel instead of the refined solve
     m5 = SDWModel(SDWConfig(**{**base, "green_kernel": "df32"}))
     timed(m5, W, "df32 green (no refine)")
+    # delayed-chunk update kernel (MXU flushes) vs immediate
+    for K in (8, 16):
+        m7 = SDWModel(SDWConfig(**{**base, "update_kernel": "delayed",
+                                   "delay": K}))
+        timed(m7, W, f"delayed update kernel K={K}")
     # refinement-iteration sensitivity
     m6 = SDWModel(SDWConfig(**{**base, "green_refine_iters": 1}))
     timed(m6, W, "refine n_iter=1")
