@@ -14,6 +14,21 @@ import pytest
 
 from detqmc_tpu.driver import DetQMC, DriverConfig
 from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+
+def _assert_within_error(res32, res64, floor=0.01):
+    for name in res32:
+        m32, e32 = res32[name]
+        m64, e64 = res64[name]
+        err = float(np.hypot(e32, e64))
+        # 5 sigma + a small absolute floor for near-zero error estimates
+        tol = 5.0 * err + floor * max(1.0, abs(m64))
+        assert abs(m32 - m64) < tol, (
+            f"{name}: f32 {m32}+-{e32} vs f64 {m64}+-{e64} "
+            f"(|diff|={abs(m32 - m64):.3e} > tol={tol:.3e}) — "
+            "f32 chain bias exceeds stochastic error; decrease s or "
+            "check the wrap path")
 
 
 @pytest.mark.slow
@@ -31,17 +46,32 @@ def test_f32_chain_unbiased_vs_f64():
     res32, q32 = run("float32", 3)
     res64, _ = run("float64", 4)
     assert res32, "observable names drifted; update the test"
-    for name in res32:
-        m32, e32 = res32[name]
-        m64, e64 = res64[name]
-        err = float(np.hypot(e32, e64))
-        # 5 sigma + a small absolute floor for near-zero error estimates
-        tol = 5.0 * err + 0.01 * max(1.0, abs(m64))
-        assert abs(m32 - m64) < tol, (
-            f"{name}: f32 {m32}+-{e32} vs f64 {m64}+-{e64} "
-            f"(|diff|={abs(m32 - m64):.3e} > tol={tol:.3e}) — "
-            "f32 chain bias exceeds stochastic error; decrease s or "
-            "check the wrap path")
+    _assert_within_error(res32, res64)
     # and the f32 run's own stabilization monitor must stay sane
+    dev = float(np.median(np.asarray(q32.states.green_dev)))
+    assert dev < 5e-3, f"f32 wrapped-G drift {dev} out of spec"
+
+
+@pytest.mark.slow
+def test_sdw_f32_chain_unbiased_vs_f64():
+    """SDW analogue of the Hubbard bias gate: the f32 chain (the TPU
+    arithmetic; the fused kernels are identical-chain-tested against
+    this scan path) must agree with the fp64 ensemble on the bosonic
+    and fermionic observables within combined stochastic error."""
+    obs_names = ("phiSquared", "phiNorm", "occupancy", "kineticEnergy")
+
+    def run(dtype, seed):
+        cfg = SDWConfig(L=4, opdim=2, r=1.0, beta=2.0, m=20, s=2,
+                        dtype=dtype)
+        p = DriverConfig(sweeps=240, thermalization=60, n_walkers=8,
+                         seed=seed, block_meas=40, jk_blocks=10)
+        qmc = DetQMC(SDWModel(cfg), p)
+        res = qmc.run()
+        return {k: res[k] for k in obs_names if k in res}, qmc
+
+    res32, q32 = run("float32", 5)
+    res64, _ = run("float64", 6)
+    assert res32, "observable names drifted; update the test"
+    _assert_within_error(res32, res64)
     dev = float(np.median(np.asarray(q32.states.green_dev)))
     assert dev < 5e-3, f"f32 wrapped-G drift {dev} out of spec"
