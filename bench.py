@@ -35,14 +35,17 @@ L, BETA, M, S = 8, 8.0, 80, 4
 N_WALKERS = 256
 N_TIMED_PAIRS = 5
 
-# BASELINE.json config #3: the O(3) SDW metal (detqmcsdw path). No C++
-# baseline exists for it (the reference mount is empty; the local C++
-# baseline implements the Hubbard algorithm), so its sweeps/s rides along
-# as an extra key on the single JSON line. Two sizes: L=4 and the
+# BASELINE.json config #3: the O(3) SDW metal (detqmcsdw path). The
+# denominators are native/baseline/sdw_baseline.cpp — a single-core fp64
+# C++ implementation of the same full-complex opdim-3 algorithm (zgemm
+# wraps, rank-4 Woodbury updates, complex QR/UdV stabilization),
+# selftest-pinned to the model's G at 1e-12 (tests/test_sdw_baseline.py)
+# and measured on this machine (BASELINE.md). Two sizes: L=4 and the
 # science-scale L=8 (complex dim 256; the SDW papers run L = 8-14) —
 # both on the native-complex chain (complex QR + complex df32 green
 # kernels, rolled/chunked fused update kernel, L=8 adds checkerboard).
 SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
+SDW_BASELINE_SWEEPS_PER_SEC = {4: 52.6, 8: 1.58}
 # W=128 fills the 128-lane kernels (W=64 padded them to half occupancy;
 # the fused update kernel's cost is W-independent up to 128 lanes).
 # Memory: ~17 MB/walker * 128 ~ 2.2 GB << 16 GB HBM.
@@ -135,8 +138,12 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_SWEEPS_PER_SEC, 2),
         f"sdw_o3_L{SDW_L}_beta{int(SDW_BETA)}_sweeps_per_sec": round(
             sdw_value, 2),
+        f"sdw_o3_L{SDW_L}_vs_baseline": round(
+            sdw_value / SDW_BASELINE_SWEEPS_PER_SEC[SDW_L], 2),
         f"sdw_o3_L8_beta{int(SDW_BETA)}_sweeps_per_sec": round(
             sdw8_value, 2),
+        "sdw_o3_L8_vs_baseline": round(
+            sdw8_value / SDW_BASELINE_SWEEPS_PER_SEC[8], 2),
     }))
 
 
