@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <ctime>
 #include <random>
 #include <vector>
@@ -312,7 +313,31 @@ struct Sim {
   }
 };
 
+// deterministic 64-bit LCG field for the Python parity selftest
+static double lcg_u01(uint64_t& st) {
+  st = st * 6364136223846793005ULL + 1442695040888963407ULL;
+  return double(st >> 11) * (1.0 / 9007199254740992.0);
+}
+
 int main(int argc, char** argv) {
+  if (argc > 1 && strcmp(argv[1], "selftest") == 0) {
+    // ./dqmc_baseline selftest L beta m s out.bin: G_up from the LCG
+    // field (column-major f64) for tests/test_sdw_baseline.py's Hubbard
+    // parity gate
+    i64 L = atoll(argv[2]);
+    double beta = atof(argv[3]);
+    i64 m = atoll(argv[4]), s = atoll(argv[5]);
+    Sim sim(L, beta, m, s);
+    uint64_t st = 42;
+    for (i64 t = 0; t < m * sim.N; ++t)
+      sim.field[t] = (lcg_u01(st) < 0.5) ? -1.0 : 1.0;
+    sim.rebuild_stacks();
+    FILE* f = fopen(argv[6], "wb");
+    fwrite(sim.G[0].a.data(), sizeof(double), sim.G[0].a.size(), f);
+    fclose(f);
+    printf("{\"selftest\": \"G_up written\", \"N\": %lld}\n", sim.N);
+    return 0;
+  }
   i64 L = argc > 1 ? atoll(argv[1]) : 8;
   double beta = argc > 2 ? atof(argv[2]) : 8.0;
   i64 m = argc > 3 ? atoll(argv[3]) : 80;
