@@ -124,7 +124,7 @@ _HUBBARD_KEYS = {
     "beta": float, "m": int, "dtau": float, "s": int,
     "checkerboard": _to_bool, "updateMethod": str, "delay": int,
     "dtype": str, "updateKernel": str, "greenKernel": str,
-    "greenRefineIters": int,
+    "greenRefineIters": int, "cbApply": str,
 }
 
 _SDW_KEYS = {
@@ -140,7 +140,7 @@ _SDW_KEYS = {
     "boxLength": float, "accRatio": float,
     "spinProposalMethod": str,
     "fermionRepr": str, "updateKernel": str, "greenKernel": str,
-    "greenRefineIters": int,
+    "greenRefineIters": int, "cbApply": str,
 }
 
 _PT_KEYS = {
@@ -240,7 +240,8 @@ def build_hubbard_config(model_params: Dict[str, str]):
         delay = 0
     for conf_key, field in (("updateKernel", "update_kernel"),
                             ("greenKernel", "green_kernel"),
-                            ("greenRefineIters", "green_refine_iters")):
+                            ("greenRefineIters", "green_refine_iters"),
+                            ("cbApply", "cb_apply")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:
@@ -277,7 +278,8 @@ def build_sdw_config(model_params: Dict[str, str]):
     for conf_key, field in (("fermionRepr", "fermion_repr"),
                             ("updateKernel", "update_kernel"),
                             ("greenKernel", "green_kernel"),
-                            ("greenRefineIters", "green_refine_iters")):
+                            ("greenRefineIters", "green_refine_iters"),
+                            ("cbApply", "cb_apply")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:

@@ -40,8 +40,14 @@ class Propagators(NamedTuple):
 
 
 def make_propagators(lat: SquareLattice, t: float, dtau: float, mu: float,
-                     dtype=jnp.float32, checkerboard: bool = False
-                     ) -> Propagators:
+                     dtype=jnp.float32, checkerboard: bool = False,
+                     cb_dense: bool = False) -> Propagators:
+    """``cb_dense``: replace expK/expK_inv by the EXACT dense product of
+    the checkerboard factors (E = F_0..F_{g-1} * diag(gamma), inverse from
+    the per-factor inverses — det F_g = 1 per bond). Same factorized
+    physics; callers then use the dense apply (checkerboard=False), which
+    is one MXU matmul instead of 2d serial gather+axpy passes — the right
+    trade on TPU at these matrix sizes."""
     K = lat.hopping_matrix(t)
     expK, expK_inv = kinetic_exponentials(K, dtau, mu)
     n_groups = 2 * getattr(lat, "d", 2)
@@ -56,6 +62,15 @@ def make_propagators(lat: SquareLattice, t: float, dtau: float, mu: float,
         gamma = np.ones(lat.n_sites)
     c = np.cosh(dtau * t) * np.ones(n_groups)
     s = np.sinh(dtau * t) * np.ones(n_groups)
+    if checkerboard and cb_dense:
+        E = np.eye(lat.n_sites)
+        Einv = np.eye(lat.n_sites)
+        for g in reversed(range(n_groups)):  # E = F0 F1 ... (F_last first)
+            E = c[g] * E + s[g] * E[partner[g], :]
+        for g in range(n_groups):            # E^{-1} = F'_last ... F'_0
+            Einv = c[g] * Einv - s[g] * Einv[partner[g], :]
+        expK = gamma[:, None] * E
+        expK_inv = Einv * (1.0 / gamma)[None, :]
     return Propagators(
         expK=jnp.asarray(expK, dtype),
         expK_inv=jnp.asarray(expK_inv, dtype),
@@ -90,6 +105,11 @@ def kinetic_mult_left(prop: Propagators, X: jax.Array, *,
     """
     if not checkerboard:
         E = prop.expK_inv if inv else prop.expK
+        if transpose:
+            # free for the symmetric dense exponential; material for the
+            # cb_dense product matrix (F0 F1 F2 F3 is NOT symmetric —
+            # its transpose is the reversed product)
+            E = jnp.swapaxes(E, -1, -2)
         return mm(E, X)
     # left-apply order for E = F0 F1 F2 F3: innermost factor first (F3).
     # E^T = F3 F2 F1 F0 and E^{-1} = F3' F2' F1' F0' both start with F0-ish,
@@ -114,6 +134,8 @@ def kinetic_mult_right(prop: Propagators, X: jax.Array, *,
     """X @ E_K (or X @ E_K^{-1} / X @ E_K^T)."""
     if not checkerboard:
         E = prop.expK_inv if inv else prop.expK
+        if transpose:
+            E = jnp.swapaxes(E, -1, -2)
         return mm(X, E)
     # right-apply order: X E = X F0 F1 F2 F3 -> apply F0 first.
     ng = prop.cb_partner.shape[0]

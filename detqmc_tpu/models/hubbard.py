@@ -68,6 +68,11 @@ class HubbardConfig:
     m: int = 40                 # imaginary-time slices
     s: int = 8                  # stabilization interval (slices per UdV)
     checkerboard: bool = False
+    # checkerboard apply mode: "sparse" = literal sequential bond-group
+    # gather+axpy passes (the reference's O(N) apply); "dense"/"auto" =
+    # precompute the EXACT product matrix of the breakup once and apply
+    # it as one MXU matmul (same factorized physics, TPU-friendly)
+    cb_apply: str = "auto"
     delay: int = 0              # 0 = plain rank-1 SM updates; k>0 = delayed
     # particle-hole symmetry at half filling (mu = 0): the down sector is
     # exactly G_dn = eta (1 - G_up^T) eta and R_dn = e^{2 alpha s} R_up, so
@@ -103,6 +108,9 @@ class HubbardConfig:
             raise ValueError("checkerboard requires even L")
         if self.delay < 0:
             raise ValueError("delay must be >= 0")
+        if self.cb_apply not in ("auto", "dense", "sparse"):
+            raise ValueError("cb_apply must be auto|dense|sparse, got "
+                             f"{self.cb_apply!r}")
 
     @property
     def dtau(self) -> float:
@@ -212,9 +220,11 @@ class HubbardModel:
 
         ensure_runtime(need_x64=cfg.stab_jdtype == jnp.dtype("float64"))
         dt = cfg.jdtype
+        self.cb_sparse = cfg.checkerboard and cfg.cb_apply == "sparse"
         self.prop = bchain.make_propagators(
             self.lat, cfg.t, cfg.dtau, cfg.mu, dtype=dt,
-            checkerboard=cfg.checkerboard)
+            checkerboard=cfg.checkerboard,
+            cb_dense=cfg.checkerboard and not self.cb_sparse)
         self.K_mat = jnp.asarray(self.lat.hopping_matrix(cfg.t), dt)
         if cfg.ph_on and cfg.mu != 0.0:
             raise ValueError("ph_symmetry='on' requires mu == 0")
@@ -431,7 +441,7 @@ class HubbardModel:
     # -- wraps ----------------------------------------------------------------
     def wrap_up(self, G, e):
         """G(l) = B_l G(l-1) B_l^{-1}."""
-        cb = self.cfg.checkerboard
+        cb = self.cb_sparse
         return bchain.b_mult_left(
             self.prop, e,
             bchain.b_inv_mult_right(self.prop, G, e, checkerboard=cb),
@@ -439,7 +449,7 @@ class HubbardModel:
 
     def wrap_down(self, G, e):
         """G(l-1) = B_l^{-1} G(l) B_l."""
-        cb = self.cfg.checkerboard
+        cb = self.cb_sparse
         return bchain.b_inv_mult_left(
             self.prop, e,
             bchain.b_mult_right(self.prop, G, e, checkerboard=cb),
@@ -500,7 +510,7 @@ class HubbardModel:
         K, s_int, N = cfg.n_stack, cfg.s, cfg.n_sites
         dt = cfg.jdtype
         sdt = cfg.stab_jdtype  # stack/stabilization precision island
-        cb = cfg.checkerboard
+        cb = self.cb_sparse
 
         field, G, stack, key = state.field, state.G, state.stack, state.key
         sign = state.sign
@@ -632,7 +642,7 @@ class HubbardModel:
         in 0..m."""
         cfg = self.cfg
         sdt = cfg.stab_jdtype
-        cb = cfg.checkerboard
+        cb = self.cb_sparse
         left = self._eye_mixed()
         for j in range(1, l + 1):
             M = bchain.b_mult_left(self.prop, self.exp_v(field[j - 1]),
@@ -693,7 +703,7 @@ class HubbardModel:
         cfg = self.cfg
         N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
         dt, sdt = cfg.jdtype, cfg.stab_jdtype
-        cb = cfg.checkerboard
+        cb = self.cb_sparse
         eye_f = self._eye_mixed()
 
         def build(transposed):
@@ -779,7 +789,7 @@ class HubbardModel:
         difference is monitored like green_dev."""
         cfg = self.cfg
         K, s_int = cfg.n_stack, cfg.s
-        cb = cfg.checkerboard
+        cb = self.cb_sparse
         anchors = self.time_displaced_greens(field)   # (K+1, C, N, N)
         e = jax.vmap(self.exp_v)(field)               # (m, ncomp, N)
         if cfg.ph_on:
@@ -865,7 +875,7 @@ class HubbardModel:
         N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
         dt = cfg.jdtype
         sdt = cfg.stab_jdtype
-        cb = cfg.checkerboard
+        cb = self.cb_sparse
         field = state.field
         eye_f = self._eye_mixed()
         rsdt = jnp.finfo(sdt).dtype

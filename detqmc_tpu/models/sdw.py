@@ -87,6 +87,15 @@ class SDWConfig:
     # 2x2 mixers with per-band anisotropic coefficients — an O(N) apply
     # instead of an O(N^2) gemm per operand column
     checkerboard: bool = False
+    # how the checkerboard factors are applied: "sparse" = the literal
+    # 4 sequential gather+axpy group passes (the reference's O(N) apply —
+    # right for CPUs); "dense" = precompute the exact PRODUCT matrix
+    # E = F0 F1 F2 F3 of the breakup once (and its exact inverse from the
+    # per-factor inverses) and apply it as one MXU matmul — same
+    # checkerboard-factorized physics, but one fused matmul instead of 4
+    # serial VPU/gather passes over the operand, which is what the TPU
+    # wants at these sizes (N <= a few hundred). "auto" = dense.
+    cb_apply: str = "auto"
     # single-site proposal kind (reference: spinProposalMethod =
     # BOX | ROTATE_THEN_SCALE | ROTATE_AND_SCALE, SURVEY.md §3):
     #   box              phi' = phi + box_width * uniform[-1,1]^opdim
@@ -171,6 +180,9 @@ class SDWConfig:
                                       "scan"):
             raise ValueError("update_kernel must be auto|pallas|delayed|"
                              f"scan, got {self.update_kernel!r}")
+        if self.cb_apply not in ("auto", "dense", "sparse"):
+            raise ValueError("cb_apply must be auto|dense|sparse, got "
+                             f"{self.cb_apply!r}")
 
     @property
     def dtau(self) -> float:
@@ -268,6 +280,35 @@ def _pauli_stack(opdim: int) -> np.ndarray:
     sy = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
     sz = np.array([[1, 0], [0, -1]], dtype=np.complex128)
     return np.stack([sx, sy, sz][:opdim])
+
+
+def _cb_dense_product(partner: np.ndarray, cosh_og: np.ndarray,
+                      sinh_og: np.ndarray, gamma: float
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact dense product matrices of the checkerboard breakup.
+
+    E = gamma * F_0 F_1 ... F_{g-1} per orbital (the apply order of
+    `_kinetic_cb_left`), each F_g = cosh_g * I + sinh_g * P_g with P_g the
+    bond-partner involution of group g. The inverse is exact as the
+    reversed product of per-factor inverses (det F_g = 1 per bond:
+    F_g^{-1} just flips the sinh sign) — no matrix inversion. Computed
+    once in fp64 at setup; the TPU then applies the factorized kinetic as
+    one MXU matmul instead of 4 serial gather+axpy passes.
+
+    partner: (n_g, N) int; cosh_og/sinh_og: (n_orb, n_g); returns a pair
+    of (n_orb, N, N) fp64 arrays (E, E^{-1}).
+    """
+    n_g, N = partner.shape
+    n_orb = cosh_og.shape[0]
+    E = np.broadcast_to(np.eye(N), (n_orb, N, N)).copy()
+    Einv = E.copy()
+    for g in reversed(range(n_g)):   # F_{g-1} applied first to identity
+        E = cosh_og[:, g][:, None, None] * E \
+            + sinh_og[:, g][:, None, None] * E[:, partner[g], :]
+    for g in range(n_g):             # E^{-1} = F'_{g-1} ... F'_1 F'_0
+        Einv = cosh_og[:, g][:, None, None] * Einv \
+            - sinh_og[:, g][:, None, None] * Einv[:, partner[g], :]
+    return gamma * E, Einv / gamma
 
 
 class SDWModel:
@@ -397,14 +438,15 @@ class SDWModel:
         rg = np.stack([xs, ys], axis=1)
         self.four_cos = jnp.asarray(np.cos(kg @ rg.T), cfg.jdtype)
         self.four_sin = jnp.asarray(np.sin(kg @ rg.T), cfg.jdtype)
+        self.cb_sparse = cfg.checkerboard and cfg.cb_apply == "sparse"
         if cfg.checkerboard:
             # per-orbital group coefficients: groups (0, 1) are horizontal
             # bonds (amplitude t_hor of that orbital's band), (2, 3)
             # vertical; K has -t on bonds so each group factor is
             # [[cosh(dtau t), sinh(dtau t)], [sinh, cosh]] per bond pair,
             # and the uniform mu enters as one scalar e^{dtau mu} per apply
-            self.cb_partner = jnp.asarray(self.lat.checkerboard_groups(),
-                                          jnp.int32)            # (4, N)
+            partner_np = self.lat.checkerboard_groups()
+            self.cb_partner = jnp.asarray(partner_np, jnp.int32)  # (4, N)
             bands = (["x", "y"] if self.reduced
                      else ["x", "x", "y", "y"]) * reps
             th = np.array([cfg.txhor if b == "x" else cfg.tyhor
@@ -415,6 +457,16 @@ class SDWModel:
             self.cb_cosh = jnp.asarray(np.cosh(cfg.dtau * tg), cdt)
             self.cb_sinh = jnp.asarray(np.sinh(cfg.dtau * tg), cdt)
             self.cb_gamma = float(np.exp(cfg.dtau * cfg.mu))
+            if not self.cb_sparse:
+                # dense-product apply (cb_apply="dense"/"auto"): replace
+                # exp(-dtau K) by the EXACT product matrix of the
+                # checkerboard breakup so the dense einsum path computes
+                # the factorized physics in one MXU matmul per apply
+                E, Einv = _cb_dense_product(
+                    partner_np, np.cosh(cfg.dtau * tg),
+                    np.sinh(cfg.dtau * tg), self.cb_gamma)
+                self.expK = jnp.asarray(E, cdt)
+                self.expK_inv = jnp.asarray(Einv, cdt)
         # df32 stabilization kernel: requires a REAL f32 fermion matrix
         # (embed or opdim 1) with the f64 compose island active
         island = self.stab_dtype_eff != self.cdtype
@@ -703,7 +755,7 @@ class SDWModel:
         return self._kinetic_plane_left(X, inv, transpose)
 
     def _kinetic_plane_left(self, X, inv=False, transpose=False):
-        if self.cfg.checkerboard:
+        if self.cb_sparse:
             return self._kinetic_cb_left(X, inv, transpose)
         E = self.expK_inv if inv else self.expK
         if transpose:
@@ -718,7 +770,7 @@ class SDWModel:
         return self._kinetic_plane_right(X, inv)
 
     def _kinetic_plane_right(self, X, inv=False):
-        if self.cfg.checkerboard:
+        if self.cb_sparse:
             return self._kinetic_cb_right(X, inv)
         E = self.expK_inv if inv else self.expK
         k = X.shape[0]

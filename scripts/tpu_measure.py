@@ -109,6 +109,40 @@ def hubbard_compare():
     say(f"  speedup refine/df32: {r1 / r2:.2f}x")
 
 
+def sdw_cb_apply_compare(L=8, W=128):
+    """cb_apply dense-vs-sparse A/B at the checkerboard bench config: the
+    dense-product apply turns every kinetic apply (wraps + stack
+    extensions) into one MXU matmul instead of 4 serial gather+axpy
+    passes."""
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+
+    base = dict(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=4,
+                dtype="float32", checkerboard=True,
+                fermion_repr="native_pair")
+    say(f"== SDW O(3) L={L} W={W} cb_apply A/B ==")
+    r_d = timed_sweeps(SDWModel(SDWConfig(**base)), W, "cb dense")
+    r_s = timed_sweeps(SDWModel(SDWConfig(**base, cb_apply="sparse")), W,
+                       "cb sparse")
+    say(f"  speedup dense/sparse: {r_d / r_s:.2f}x")
+
+
+def hubbard_cb_compare(W=256):
+    """Checkerboard Hubbard at the headline shape: dense-product vs
+    sparse apply (and both against the round-2 dense-exponential
+    number in BASELINE.md)."""
+    from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
+
+    say(f"== Hubbard L=8 beta=8 W={W} checkerboard cb_apply A/B ==")
+    base = dict(L=8, U=4.0, beta=8.0, m=80, s=4, dtype="float32",
+                checkerboard=True)
+    r_d = timed_sweeps(HubbardModel(HubbardConfig(**base)), W, "cb dense",
+                       n_timed=5)
+    r_s = timed_sweeps(HubbardModel(HubbardConfig(**base,
+                                                  cb_apply="sparse")), W,
+                       "cb sparse", n_timed=5)
+    say(f"  speedup dense/sparse: {r_d / r_s:.2f}x")
+
+
 def sdw_walker_scaling(L=4, Ws=(128, 256, 512)):
     """Aggregate sweeps/s vs walker count on the native chain: the lane
     kernels pad to 128-lane groups, so W > 128 runs Gp > 1 grid steps —
@@ -131,7 +165,9 @@ def main():
     hubbard_compare()
     sdw_delayed_compare(8, 128)
     sdw_delayed_compare(4, 128, delays=(8,))
+    sdw_cb_apply_compare(8, 128)
     if not QUICK:
+        hubbard_cb_compare()
         sdw_walker_scaling()
 
 
