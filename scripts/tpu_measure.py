@@ -160,15 +160,30 @@ def sdw_walker_scaling(L=4, Ws=(128, 256, 512)):
 
 def main():
     say(jax.devices())
-    sdw_compare(4, 128)
-    sdw_compare(8, 128)
-    hubbard_compare()
-    sdw_delayed_compare(8, 128)
-    sdw_delayed_compare(4, 128, delays=(8,))
-    sdw_cb_apply_compare(8, 128)
+    sections = [
+        ("sdw L=4", lambda: sdw_compare(4, 128)),
+        ("sdw L=8", lambda: sdw_compare(8, 128)),
+        ("hubbard", hubbard_compare),
+        ("delayed L=8", lambda: sdw_delayed_compare(8, 128)),
+        ("delayed L=4", lambda: sdw_delayed_compare(4, 128, delays=(8,))),
+        ("cb_apply L=8", lambda: sdw_cb_apply_compare(8, 128)),
+    ]
     if not QUICK:
-        hubbard_cb_compare()
-        sdw_walker_scaling()
+        sections += [
+            ("hubbard cb", hubbard_cb_compare),
+            ("walker scaling", sdw_walker_scaling),
+        ]
+    failed = []
+    for name, fn in sections:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — keep the batch going
+            import traceback
+
+            say(f"!! section {name!r} FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc()
+            failed.append(name)
+    say(f"batch done; failed sections: {failed or 'none'}")
 
 
 if __name__ == "__main__":
