@@ -7,6 +7,9 @@ device/mesh program).
 Config keys: everything main_sdw takes, plus
     values = r0,r1,...      control-parameter grid (one replica each)
     exchangeInterval = n    sweep pairs between exchange attempts
+    ptEnsembles = E         independent PT systems vmapped into the
+                            device batch (E chains per parameter value;
+                            fills the chip where batch=R would starve it)
 """
 
 from __future__ import annotations
@@ -47,16 +50,24 @@ def main(argv=None) -> int:
     compile_cache.enable()
     from detqmc_tpu.models.sdw import SDWModel
 
-    model = SDWModel(cfg)
-    qmc = DetQMCPT(model, values, drv,
-                   PTConfig(exchange_interval=ptp.get(
-                       "exchangeInterval", 1)),
-                   meta_extra={"model": "sdw-pt"})
+    try:
+        model = SDWModel(cfg)
+        qmc = DetQMCPT(model, values, drv,
+                       PTConfig(exchange_interval=ptp.get(
+                           "exchangeInterval", 1),
+                           n_ensembles=ptp.get("ptEnsembles", 1)),
+                       meta_extra={"model": "sdw-pt"})
+    except ConfigurationError as e:
+        print(f"configuration error: {e}", file=sys.stderr)
+        return 2
     results = qmc.run()
     for k, res in results.items():
         print(f"# parameter {k} (r = {values[k]})")
         for name, (mean, err) in sorted(res.items()):
             print(f"{name} = {mean!r} +/- {err!r}")
+    from detqmc_tpu.timing import timing
+
+    print(timing.report(), file=sys.stderr)
     return 0
 
 

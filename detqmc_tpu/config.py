@@ -147,6 +147,7 @@ _PT_KEYS = {
     "exchangeInterval": int,
     "values": str,          # comma-separated control-parameter grid
     "controlParameter": str,
+    "ptEnsembles": int,     # independent PT systems vmapped together
 }
 
 

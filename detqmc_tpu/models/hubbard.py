@@ -821,12 +821,17 @@ class HubbardModel:
         return G_all, devs.max()
 
     def measure_time_displaced(self, state: WalkerState,
-                               per_slice: bool = False) -> jax.Array:
+                               per_slice: bool = False,
+                               susceptibilities: bool = False):
         """Momentum-diagonal G(k, tau), spin-averaged over BOTH sectors
         (in ph mode the down sector is reconstructed exactly — reference
         observable: time-displaced Green). tau on the stabilization grid
         ((K+1, N)) or, with ``per_slice``, at every slice ((m+1, N),
-        returned with the wrap-deviation monitor)."""
+        returned with the wrap-deviation monitor).
+
+        ``susceptibilities`` (needs ``per_slice``) additionally returns
+        the tau-integrated s- and d-wave pairing susceptibilities
+        computed from the same per-slice G(tau, 0)."""
         if per_slice:
             G_tau, dev = self.time_displaced_greens_all(state.field)
         else:
@@ -836,9 +841,49 @@ class HubbardModel:
                         if G_tau.dtype == jnp.float32 else
                         G_tau.astype(jnp.complex128), jnp.conj(F).T)
         gk = jnp.real(gk).mean(axis=1) / self.cfg.n_sites  # spin-avg
+        if susceptibilities:
+            if not per_slice:
+                raise ValueError("susceptibilities need per_slice=True "
+                                 "(trapezoid over every tau slice)")
+            ps, pd = self.pair_susceptibilities(G_tau)
+            return gk, dev, ps, pd
         if per_slice:
             return gk, dev
         return gk
+
+    def pair_susceptibilities(self, G_tau: jax.Array):
+        """tau-integrated s- and d_{x2-y2}-wave pairing susceptibilities
+        from per-slice time-displaced Greens, by Wick factorization at
+        fixed auxiliary field:
+
+            P = (1/N) sum_ij int_0^beta dtau <Delta_i(tau) Delta_j+(0)>
+            <Delta_i(tau) Delta_j+(0)>
+                = G_up(tau,0)_ij * [D G_dn(tau,0) D^T]_ij
+
+        with Delta_i = sum_delta f_delta c_{i+delta,dn} c_{i,up}. The
+        form-factor matrix D is the identity for the on-site s-wave pair
+        and the signed nearest-neighbor adjacency (+1 along x, -1 along
+        y) for d-wave — applied as two MXU matmuls per slice, never a
+        gather. The tau integral is the trapezoid over all m+1 slices.
+        Reference observable class: unequal-time pairing correlators
+        (SURVEY.md §1 "pairing and current correlators"; the reference
+        computes these in its TimeDisplaced=true measure path). d-wave
+        is 2-D only: for d != 2 lattices it returns 0.
+
+        G_tau: (m+1, C, N, N); returns two scalars (P_s, P_d)."""
+        cfg = self.cfg
+        up = G_tau[:, 0]
+        dn = G_tau[:, -1]                       # == up's partner sector
+        w = jnp.full((cfg.m + 1,), cfg.dtau, up.dtype)
+        w = w.at[0].mul(0.5).at[-1].mul(0.5)    # trapezoid
+        ps = jnp.einsum("t,tij,tij->", w, up, dn) / cfg.n_sites
+        if self._dwave_D is None:
+            return ps, jnp.zeros_like(ps)
+        D = self._dwave_D.astype(up.dtype)
+        dn_d = jnp.einsum("in,tnm,jm->tij", D, dn, D,
+                          preferred_element_type=up.dtype)
+        pd = jnp.einsum("t,tij,tij->", w, up, dn_d) / cfg.n_sites
+        return ps, pd
 
     # -- setup -------------------------------------------------------------------
     def init_state(self, key: jax.Array) -> WalkerState:

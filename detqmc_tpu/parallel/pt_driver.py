@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -29,6 +30,7 @@ from detqmc_tpu.driver import DriverConfig
 from detqmc_tpu.metadata import Metadata, write_metadata
 from detqmc_tpu.observables import ObservableHandler
 from detqmc_tpu.parallel import pt as pt_mod
+from detqmc_tpu.timing import timing
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +41,14 @@ class PTConfig:
     # model's declared ``control_parameter`` at driver construction and
     # echoed into the per-run metadata.
     control_parameter: str = "r"
+    # independent PT systems vmapped into one device batch. The reference
+    # runs ONE chain per parameter value (one MPI rank per replica); on a
+    # TPU that leaves the MXU starved at batch=R small matrices. E
+    # ensembles are E statistically independent R-replica PT systems —
+    # every parameter value accumulates E chains' measurements, and the
+    # device batch becomes E*R. On a mesh the ensemble axis shards over a
+    # second ("dp") axis, making PT a 2-D (dp x replica) program.
+    n_ensembles: int = 1
 
 
 class DetQMCPT:
@@ -59,15 +69,25 @@ class DetQMCPT:
                 f"PT control_parameter={pt_params.control_parameter!r} "
                 f"but {type(model).__name__} exchanges "
                 f"{supported!r} (its with_r/exchange_action hooks)")
+        if params.n_walkers != 1:
+            from detqmc_tpu.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                "DetQMCPT runs one chain per replica; for multiple "
+                "chains per parameter value use PTConfig.n_ensembles "
+                "(config key ptEnsembles) — got "
+                f"n_walkers={params.n_walkers}")
         self.r_values = jnp.asarray(np.asarray(r_values, np.float64),
                                     model.cfg.jdtype)
         self.R = len(r_values)
+        self.E = max(1, int(pt_params.n_ensembles))
         self.meta = {k: str(v) for k, v in
                      dataclasses.asdict(model.cfg).items()}
         self.meta.update({
             "exchangeInterval": str(pt_params.exchange_interval),
             "controlParameter": pt_params.control_parameter,
             "controlParameterValues": ",".join(str(v) for v in r_values),
+            "ptEnsembles": str(self.E),
             **(meta_extra or {}),
         })
         self.handlers = [
@@ -89,41 +109,45 @@ class DetQMCPT:
         self._phi_streams: Dict[int, Any] = {}
 
         vm = jax.vmap
+        # E > 1: every per-system op maps over the leading ensemble axis
+        # too (states carry (E, R, ...) leaves, PTState carries (E, ...))
+        ev = (lambda f: jax.vmap(f)) if self.E > 1 else (lambda f: f)
+        exchange = ev(lambda p, a: pt_mod.exchange_step(
+            p, a, self.r_values))
+        current_r = ev(lambda p: pt_mod.replica_r(p, self.r_values))
 
         def therm_round(carry, _):
             states, pt = carry
             states, _ = jax.lax.scan(
-                lambda sts, x: (vm(lambda s: model.sweep_pair(
-                    s, measure=False)[0])(sts), None),
+                lambda sts, x: (ev(vm(lambda s: model.sweep_pair(
+                    s, measure=False)[0]))(sts), None),
                 states, None, length=pt_params.exchange_interval)
-            actions = vm(model.exchange_action)(states)
-            pt = pt_mod.exchange_step(pt, actions, self.r_values)
-            states = vm(model.with_r)(states,
-                                      pt_mod.replica_r(pt, self.r_values))
+            actions = ev(vm(model.exchange_action))(states)
+            pt = exchange(pt, actions)
+            states = ev(vm(model.with_r))(states, current_r(pt))
             return (states, pt), None
 
         def meas_round(carry, _):
             states, pt = carry
             def inner(sts, x):
-                sts = vm(lambda s: model.sweep_pair(
-                    s, measure=False)[0])(sts)
+                sts = ev(vm(lambda s: model.sweep_pair(
+                    s, measure=False)[0]))(sts)
                 return sts, None
             if pt_params.exchange_interval > 1:
                 states, _ = jax.lax.scan(
                     inner, states, None,
                     length=pt_params.exchange_interval - 1)
-            states, obs = vm(
-                lambda s: model.sweep_pair(s, measure=True))(states)
+            states, obs = ev(vm(
+                lambda s: model.sweep_pair(s, measure=True)))(states)
             # the measurements above ran under the INCOMING parameter
             # assignment — tag them with it before the exchange step
             # reshuffles labels (tagging post-exchange would book every
             # accepted swap's measurements into the adjacent parameter's
             # stream, biasing all PT output)
             tag = pt.param_of_replica
-            actions = vm(model.exchange_action)(states)
-            pt = pt_mod.exchange_step(pt, actions, self.r_values)
-            states = vm(model.with_r)(states,
-                                      pt_mod.replica_r(pt, self.r_values))
+            actions = ev(vm(model.exchange_action))(states)
+            pt = exchange(pt, actions)
+            states = ev(vm(model.with_r))(states, current_r(pt))
             return (states, pt), (obs, tag)
 
         self._therm_block = jax.jit(
@@ -169,19 +193,43 @@ class DetQMCPT:
         loaded = None
         if resume and self._ckpt_path:
             loaded = ckpt_mod.load_checkpoint(self._ckpt_path)
-        keys = jax.random.split(jax.random.key(self.p.seed), self.R)
-        if loaded is None:
-            self.states = jax.jit(jax.vmap(self.model.init_state))(keys)
-            self.states = jax.vmap(self.model.with_r)(
-                self.states, self.r_values)
-            self.pt_state = pt_mod.init_pt(
+        keys = jax.random.split(jax.random.key(self.p.seed),
+                                self.E * self.R)
+        if self.E > 1:
+            keys = keys.reshape(self.E, self.R)
+            init_states = jax.jit(jax.vmap(jax.vmap(
+                self.model.init_state)))
+            with_r_all = jax.vmap(
+                lambda sts: jax.vmap(self.model.with_r)(
+                    sts, self.r_values))
+            refresh = jax.jit(jax.vmap(jax.vmap(
+                self.model.refresh_from_field)))
+            ptkeys = jax.random.split(
+                jax.random.key(self.p.seed + 7919), self.E)
+            init_pt_all = lambda: jax.vmap(  # noqa: E731
+                partial(pt_mod.init_pt, self.R))(ptkeys)
+        else:
+            init_states = jax.jit(jax.vmap(self.model.init_state))
+            with_r_all = lambda sts: jax.vmap(self.model.with_r)(  # noqa: E731
+                sts, self.r_values)
+            refresh = jax.jit(jax.vmap(self.model.refresh_from_field))
+            init_pt_all = lambda: pt_mod.init_pt(  # noqa: E731
                 self.R, jax.random.key(self.p.seed + 7919))
+        if loaded is None:
+            self.states = with_r_all(init_states(keys))
+            self.pt_state = init_pt_all()
             return
         arrays, extra, manifest = loaded
-        blank = jax.jit(jax.vmap(self.model.init_state))(keys)
+        saved_e = int(manifest.get("meta", {}).get("ptEnsembles", 1))
+        if saved_e != self.E:
+            from detqmc_tpu.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                f"checkpoint has ptEnsembles={saved_e}, run configured "
+                f"with n_ensembles={self.E}")
+        blank = init_states(keys)
         restored = ckpt_mod.restore_state(blank, arrays)
-        self.states = jax.jit(
-            jax.vmap(self.model.refresh_from_field))(restored)
+        self.states = refresh(restored)
         self.pt_state = pt_mod.PTState(
             param_of_replica=jnp.asarray(extra["pt|param_of_replica"],
                                          jnp.int32),
@@ -214,15 +262,21 @@ class DetQMCPT:
             return
         from detqmc_tpu.io.binarystream import BinaryStreamWriter
 
-        phi = np.asarray(self.states.phi)               # (R, m, N, opdim)
+        # (R, m, N, opdim), or (E, R, m, N, opdim) with ensembles
+        phi = np.asarray(self.states.phi)
+        if self.E == 1:
+            phi = phi[None]
+        # param -> replica, per ensemble: (E, R)
         rep_of_param = np.argsort(
-            np.asarray(self.pt_state.param_of_replica))  # param -> replica
+            np.asarray(self.pt_state.param_of_replica).reshape(
+                self.E, self.R), axis=-1)
         for k in range(self.R):
             if k not in self._phi_streams:
                 self._phi_streams[k] = BinaryStreamWriter(
                     os.path.join(self.p.outdir, f"p{k}",
-                                 "phi.binarystream"), phi.shape[1:])
-            self._phi_streams[k].append(phi[rep_of_param[k]])
+                                 "phi.binarystream"), phi.shape[2:])
+            for e in range(self.E):
+                self._phi_streams[k].append(phi[e, rep_of_param[e, k]])
 
     def run(self) -> Dict[int, Dict[str, Tuple[float, float]]]:
         """Thermalize + measure with walltime-aware checkpointing; a
@@ -238,9 +292,11 @@ class DetQMCPT:
         while rounds_done < rounds_total:
             n = min(max(1, self.p.block_meas), rounds_total - rounds_done)
             t0 = time.time()
-            carry = self._therm_block(carry, n)
-            jax.block_until_ready(carry[0].phi if hasattr(carry[0], "phi")
-                                  else carry[0].G)
+            with timing("thermalization"):
+                carry = self._therm_block(carry, n)
+                jax.block_until_ready(
+                    carry[0].phi if hasattr(carry[0], "phi")
+                    else carry[0].G)
             t_block = time.time() - t0
             rounds_done += n
             self.therm_done = rounds_done * ei
@@ -255,13 +311,17 @@ class DetQMCPT:
         while self.measurements_done < n_meas:
             n = min(block, n_meas - self.measurements_done)
             t0 = time.time()
-            carry, (obs, param_idx) = self._meas_block(carry, n)
-            obs_np = {k: np.asarray(v) for k, v in obs._asdict().items()}
+            with timing("measurement block"):
+                carry, (obs, param_idx) = self._meas_block(carry, n)
+                obs_np = {k: np.asarray(v)
+                          for k, v in obs._asdict().items()}
             t_block = time.time() - t0
-            pidx = np.asarray(param_idx)        # (T, R)
-            # route each (measurement, replica) sample to its parameter's
-            # handler: one boolean-mask selection per parameter value
-            # (vectorized over the whole block)
+            pidx = np.asarray(param_idx)        # (T, R) or (T, E, R)
+            # route each (measurement[, ensemble], replica) sample to its
+            # parameter's handler: one boolean-mask selection per
+            # parameter value (vectorized over the whole block; the mask
+            # flattens every leading sample axis, so E>1 just contributes
+            # E independent chains to each parameter's stream)
             for k in range(self.R):
                 mask = pidx == k
                 if not mask.any():
@@ -295,8 +355,12 @@ class DetQMCPT:
             info["measurementsDone"] = str(self.measurements_done)
             info.update(self._consistency.info_entries())
             write_metadata(os.path.join(self.p.outdir, "info.dat"), info)
-            att = np.asarray(self.pt_state.n_attempted)
-            acc = np.asarray(self.pt_state.n_accepted)
+            # with ensembles the counters carry a leading E axis; the
+            # reported per-pair rates aggregate all independent systems
+            att = np.asarray(self.pt_state.n_attempted).reshape(
+                self.E, self.R - 1).sum(axis=0)
+            acc = np.asarray(self.pt_state.n_accepted).reshape(
+                self.E, self.R - 1).sum(axis=0)
             with open(os.path.join(self.p.outdir, "exchange-rates.dat"),
                       "w") as f:
                 f.write("# pair attempted accepted rate\n")

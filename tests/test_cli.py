@@ -48,12 +48,25 @@ def test_pt_sdw_cli(tmp_path, capsys):
         "L=2", "opdim=1", "r=0.5", "beta=1.0", "m=4", "s=2",
         "sweeps=8", "thermalization=4", "dtype=float64",
         "turnoffFermions=true", "values=0.0,1.0", "exchangeInterval=2",
-        f"outdir={tmp_path}/pt",
+        "ptEnsembles=2", f"outdir={tmp_path}/pt",
     ])
     assert rc == 0
     out = capsys.readouterr().out
     assert "parameter 0" in out and "parameter 1" in out
     assert (tmp_path / "pt" / "exchange-rates.dat").exists()
+
+
+def test_pt_sdw_cli_rejects_walkers(tmp_path, capsys):
+    """`walkers` is the single-run driver's knob; PT runs one chain per
+    replica and must point the user at ptEnsembles instead of silently
+    ignoring it."""
+    rc = pt_main([
+        "L=2", "opdim=1", "r=0.5", "beta=1.0", "m=4", "s=2",
+        "sweeps=4", "thermalization=0", "dtype=float64",
+        "turnoffFermions=true", "values=0.0,1.0", "walkers=2",
+    ])
+    assert rc == 2
+    assert "ptEnsembles" in capsys.readouterr().err
 
 def test_mrpt_cli_on_pt_run(tmp_path, capsys):
     """Full pipeline: PT run -> .series files -> mrpt reweighting curves."""

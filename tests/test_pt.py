@@ -96,7 +96,7 @@ def test_pt_end_to_end_boson_limit(tmp_path):
                     turnoffFermions=True, dtype="float64", box_width=1.5)
     model = SDWModel(cfg)
     p = DriverConfig(sweeps=300, thermalization=60, jk_blocks=8,
-                     outdir=str(tmp_path / "pt"), n_walkers=4, seed=5,
+                     outdir=str(tmp_path / "pt"), n_walkers=1, seed=5,
                      block_meas=50)
     qmc = DetQMCPT(model, r_grid, p, PTConfig(exchange_interval=1))
     results = qmc.run()
@@ -227,7 +227,7 @@ def test_pt_control_parameter_validated():
     cfg = SDWConfig(L=2, opdim=1, r=1.0, u=0.5, beta=1.0, m=4, s=2,
                     turnoffFermions=True, dtype="float64")
     with _pytest.raises(ConfigurationError):
-        DetQMCPT(SDWModel(cfg), [0.0, 1.0], DriverConfig(n_walkers=2),
+        DetQMCPT(SDWModel(cfg), [0.0, 1.0], DriverConfig(n_walkers=1),
                  PTConfig(control_parameter="beta"))
 
 
@@ -246,7 +246,7 @@ def test_pt_phi_dumps_feed_sdwcorr(tmp_path):
     r_grid = [0.2, 1.0]
     cfg = SDWConfig(L=2, opdim=2, r=0.2, u=0.5, beta=1.0, m=4, s=2,
                     turnoffFermions=True, dtype="float64")
-    p = DriverConfig(sweeps=12, thermalization=4, n_walkers=2, seed=6,
+    p = DriverConfig(sweeps=12, thermalization=4, n_walkers=1, seed=6,
                      block_meas=6, outdir=str(tmp_path / "pt"),
                      dump_config_stream=True)
     qmc = DetQMCPT(SDWModel(cfg), r_grid, p, PTConfig())
@@ -264,3 +264,101 @@ def test_pt_phi_dumps_feed_sdwcorr(tmp_path):
     info = read_metadata(str(tmp_path / "pt" / "info.dat"))
     assert "greenDevMedian" in info
     assert info["controlParameter"] == "r"
+
+
+def test_pt_ensembles_end_to_end(tmp_path):
+    """E=2 independent PT systems vmapped into one batch: every parameter
+    value books E chains' measurements, assignments stay per-ensemble
+    permutations, exchange-rate counters aggregate both systems."""
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    r_grid = [0.0, 0.8, 1.6]
+    cfg = SDWConfig(L=2, opdim=1, r=0.0, u=0.5, beta=1.0, m=4, s=2,
+                    turnoffFermions=True, dtype="float64", box_width=1.5)
+    p = DriverConfig(sweeps=40, thermalization=10, jk_blocks=4,
+                     outdir=str(tmp_path / "pt_e"), n_walkers=1, seed=5,
+                     block_meas=20, dump_config_stream=True)
+    qmc = DetQMCPT(SDWModel(cfg), r_grid, p,
+                   PTConfig(exchange_interval=1, n_ensembles=2))
+    results = qmc.run()
+
+    # per-ensemble permutations of the parameter grid
+    perm = np.sort(np.asarray(qmc.pt_state.param_of_replica), axis=-1)
+    assert perm.shape == (2, 3)
+    np.testing.assert_array_equal(perm, np.tile(np.arange(3), (2, 1)))
+    # every parameter stream holds E * sweeps samples (masks route each
+    # ensemble's chain at that parameter into the same handler)
+    for k in range(3):
+        n = qmc.handlers[k].scalar_series("phiSquared").size
+        assert n == 2 * 40, (k, n)
+        assert np.isfinite(results[k]["phiSquared"][0])
+    # phi dump stream: E configs per dump round
+    from detqmc_tpu.io.binarystream import read_binarystream
+
+    cfgs = read_binarystream(str(tmp_path / "pt_e" / "p0" /
+                                 "phi.binarystream"))
+    assert cfgs.shape[0] == 2 * 2  # two measurement blocks x two ensembles
+    # aggregated exchange-rate file exists and counts both systems
+    rates = (tmp_path / "pt_e" / "exchange-rates.dat").read_text()
+    att_total = sum(int(line.split()[1])
+                    for line in rates.splitlines()[1:])
+    assert att_total == 2 * 40 + 2 * 10  # E * (meas + therm) attempts
+
+
+def test_pt_ensembles_resume_guard(tmp_path):
+    """Resuming an E=2 checkpoint with a different ensemble count must
+    fail loudly, not garble shapes."""
+    from detqmc_tpu.driver import DriverConfig
+    from detqmc_tpu.exceptions import ConfigurationError
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from detqmc_tpu.parallel.pt_driver import DetQMCPT, PTConfig
+
+    cfg = SDWConfig(L=2, opdim=1, r=0.0, u=0.5, beta=0.5, m=4, s=2,
+                    turnoffFermions=True, dtype="float64")
+    p = DriverConfig(sweeps=4, thermalization=0, n_walkers=1, seed=0,
+                     outdir=str(tmp_path / "ptr"), block_meas=4)
+    qmc = DetQMCPT(SDWModel(cfg), [0.0, 1.0], p,
+                   PTConfig(n_ensembles=2))
+    qmc.run()
+    qmc2 = DetQMCPT(SDWModel(cfg), [0.0, 1.0], p,
+                    PTConfig(n_ensembles=1))
+    with pytest.raises(ConfigurationError):
+        qmc2.init(resume=True)
+
+
+def test_pt_ensembles_sharded_2d_mesh_matches_local():
+    """The ensemble axis shards over a 'dp' mesh axis while replicas
+    shard over 'replica' (2-D mesh): one exchange round on the 2x4
+    virtual mesh must reproduce the single-device vmapped result
+    exactly (same keys, same swap decisions, layout only)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    E, R = 4, 8
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "replica"))
+    r_values = jnp.linspace(0.0, 1.0, R)
+    actions = jax.random.normal(jax.random.key(3), (E, R))
+    pt0 = jax.vmap(functools.partial(pt_mod.init_pt, R))(
+        jax.random.split(jax.random.key(4), E))
+
+    local = jax.vmap(
+        lambda p_, a: pt_mod.exchange_step(p_, a, r_values))(pt0, actions)
+
+    # PTState is per-ensemble (sharded over dp, replicated over replica);
+    # actions shard over both axes and all_gather over 'replica' only
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("dp", "replica"), P()),
+        out_specs=P("dp"), check_vma=False)
+    def sharded(pt, local_actions, r_vals):
+        return jax.vmap(lambda p_, a: pt_mod.exchange_step_sharded(
+            p_, a, r_vals, "replica"))(pt, local_actions)
+
+    out = jax.jit(sharded)(pt0, actions, r_values)
+    np.testing.assert_array_equal(np.asarray(local.param_of_replica),
+                                  np.asarray(out.param_of_replica))
+    np.testing.assert_array_equal(np.asarray(local.n_accepted),
+                                  np.asarray(out.n_accepted))
