@@ -196,13 +196,20 @@ class DetQMC:
         self._therm_block = jax.jit(vm(therm_block, in_axes=(0, None)))
         self._meas_block = jax.jit(vm(meas_block, in_axes=(0, None)))
         self._timedisp_fn = None
+        self._timedisp_chi = False
         if params.timedisplaced and hasattr(model,
                                             "measure_time_displaced"):
             import functools as _ft
 
+            kw = {"per_slice": params.timedisplaced_slices}
+            # per-slice G(tau,0) also yields the tau-integrated pairing
+            # susceptibilities for free where the model supports them
+            if params.timedisplaced_slices and hasattr(
+                    model, "pair_susceptibilities"):
+                kw["susceptibilities"] = True
+                self._timedisp_chi = True
             self._timedisp_fn = jax.jit(vm(_ft.partial(
-                model.measure_time_displaced,
-                per_slice=params.timedisplaced_slices)))
+                model.measure_time_displaced, **kw)))
 
     # -- setup / resume -----------------------------------------------------
     def _build_metadata(self, extra: Metadata) -> Metadata:
@@ -406,8 +413,13 @@ class DetQMC:
                      for k, v in obs._asdict().items()}
             if self._timedisp_fn is not None:
                 out = self._timedisp_fn(self.states)
+                if self._timedisp_chi:
+                    gk, td_dev, ps, pd = out
+                    batch["pairingSusceptibilityS"] = np.asarray(ps)[None]
+                    batch["pairingSusceptibilityD"] = np.asarray(pd)[None]
                 if self.p.timedisplaced_slices:
-                    gk, td_dev = out                  # (W, m+1, N), (W,)
+                    if not self._timedisp_chi:
+                        gk, td_dev = out              # (W, m+1, N), (W,)
                     batch["timeDisplacedDev"] = np.asarray(
                         td_dev)[None]                 # (1, W) scalar obs
                 else:

@@ -239,6 +239,19 @@ class HubbardModel:
             self.lat.site_of(c_[None, :, :] + c_[:, None, :]), jnp.int32)
         # (-1)^(sum of coords) staggering for the AF structure factor
         self.stagger = jnp.asarray(self.lat.stagger(), dt)
+        # d_{x2-y2} pair form factor as a dense (N, N) matrix (+1 for x
+        # neighbors, -1 for y): pair_susceptibilities applies it as MXU
+        # matmuls. 2-D lattices only.
+        if cfg.d == 2:
+            nbr = self.lat.neighbors()          # (N, 4): +x, -x, +y, -y
+            Dmat = np.zeros((N, N))
+            np.add.at(Dmat, (s_, nbr[:, 0]), 1.0)
+            np.add.at(Dmat, (s_, nbr[:, 1]), 1.0)
+            np.add.at(Dmat, (s_, nbr[:, 2]), -1.0)
+            np.add.at(Dmat, (s_, nbr[:, 3]), -1.0)
+            self._dwave_D = jnp.asarray(Dmat, dt)
+        else:
+            self._dwave_D = None
         # site-update path (see HubbardConfig.update_kernel). The kernels
         # are TPU + f32 only (Mosaic has no 64-bit lowering); off-TPU a
         # forced kernel runs in interpret mode.

@@ -438,6 +438,15 @@ class SDWModel:
         rg = np.stack([xs, ys], axis=1)
         self.four_cos = jnp.asarray(np.cos(kg @ rg.T), cfg.jdtype)
         self.four_sin = jnp.asarray(np.sin(kg @ rg.T), cfg.jdtype)
+        # d_{x2-y2} pair form factor (+1 x, -1 y neighbors) as a dense
+        # matrix: pair_susceptibilities applies it as MXU matmuls
+        nb_np = self.lat.neighbors()
+        Dmat = np.zeros((N, N))
+        np.add.at(Dmat, (s_, nb_np[:, 0]), 1.0)
+        np.add.at(Dmat, (s_, nb_np[:, 1]), 1.0)
+        np.add.at(Dmat, (s_, nb_np[:, 2]), -1.0)
+        np.add.at(Dmat, (s_, nb_np[:, 3]), -1.0)
+        self._dwave_D = jnp.asarray(Dmat, cfg.jdtype)
         self.cb_sparse = cfg.checkerboard and cfg.cb_apply == "sparse"
         if cfg.checkerboard:
             # per-orbital group coefficients: groups (0, 1) are horizontal
@@ -2004,15 +2013,72 @@ class SDWModel:
              anchors[K][None]], axis=0)
         return G_all, devs.max()
 
+    def pair_susceptibilities(self, G_tau):
+        """tau-integrated onsite s-wave and d_{x2-y2}-wave pairing
+        susceptibilities from per-slice G(tau, 0), for the same pair
+        operator as the equal-time pairingCorrelation:
+        Delta_i = sum_b c_{b dn, i} c_{b up, i}. Wick at fixed phi:
+
+            <Delta_i(tau) Delta_j+(0)> = Re[ G00 G11 + G22 G33
+                                            - G03 G12 - G21 G30 ]_ij
+
+        in the physical orbital basis (x_up, x_dn, y_up, y_dn) — these
+        are the four contractions that survive the two decoupled fermion
+        sectors A = (x_up, y_dn), B = (x_dn, y_up). The d-wave form
+        factor dresses the dn operators: a row matmul with D where a
+        factor annihilates a dn orbital, a column matmul with D^T where
+        it creates one — exactly one D and one D^T per term, all MXU
+        work. Reference observable class: unequal-time pairing
+        correlators near the SDW QCP (SURVEY.md §1 "pairing and current
+        correlators"). Returns (P_s, P_d) scalars; trapezoid over all
+        m+1 slices (driver flag timedisplacedSlices)."""
+        cfg = self.cfg
+        D = self._dwave_D
+        # ((ann1, cre1), (ann2, cre2), sign): dn orbitals are odd
+        terms = (((0, 0), (1, 1), 1.0), ((2, 2), (3, 3), 1.0),
+                 ((0, 3), (1, 2), -1.0), ((2, 1), (3, 0), -1.0))
+
+        def one(G):
+            re, im = self._phys_green_parts(G)          # (4, 4, N, N)
+            ps = jnp.zeros((), cfg.jdtype)
+            pd = jnp.zeros((), cfg.jdtype)
+            for (a1, c1), (a2, c2), sgn in terms:
+                r1, i1 = re[a1, c1], im[a1, c1]
+                r2, i2 = re[a2, c2], im[a2, c2]
+                ps = ps + sgn * jnp.sum(r1 * r2 - i1 * i2)
+
+                def dress(r_, i_, ann, cre):
+                    if ann % 2 == 1:
+                        r_, i_ = D @ r_, D @ i_
+                    if cre % 2 == 1:
+                        r_, i_ = r_ @ D.T, i_ @ D.T
+                    return r_, i_
+
+                r1d, i1d = dress(r1, i1, a1, c1)
+                r2d, i2d = dress(r2, i2, a2, c2)
+                pd = pd + sgn * jnp.sum(r1d * r2d - i1d * i2d)
+            return ps, pd
+
+        ps_l, pd_l = jax.vmap(one)(G_tau)               # (m+1,) each
+        w = jnp.full((cfg.m + 1,), cfg.dtau, ps_l.dtype)
+        w = w.at[0].mul(0.5).at[-1].mul(0.5)            # trapezoid
+        return (w @ ps_l) / cfg.n_sites, (w @ pd_l) / cfg.n_sites
+
     def measure_time_displaced(self, state: SDWState,
-                               per_slice: bool = False) -> jax.Array:
+                               per_slice: bool = False,
+                               susceptibilities: bool = False):
         """Momentum-diagonal G(k, tau) averaged over the 4 physical
         orbitals: (K+1, N) real on the stabilization grid, or (m+1, N)
         at every slice with ``per_slice`` (returned with the
-        wrap-deviation monitor)."""
+        wrap-deviation monitor). ``susceptibilities`` (needs
+        ``per_slice``) additionally returns the tau-integrated pairing
+        susceptibilities from the same per-slice Greens."""
         if per_slice:
             G_tau, dev = self.time_displaced_greens_all(state.phi)
         else:
+            if susceptibilities:
+                raise ValueError("susceptibilities need per_slice=True "
+                                 "(trapezoid over every tau slice)")
             G_tau = self.time_displaced_greens(state.phi)
         Fc, Fs = self.four_cos, self.four_sin
 
@@ -2033,6 +2099,9 @@ class SDWModel:
             return g / (4.0 * self.cfg.n_sites)
 
         gk = jax.vmap(project)(G_tau)
+        if susceptibilities:
+            ps, pd = self.pair_susceptibilities(G_tau)
+            return gk, dev, ps, pd
         if per_slice:
             return gk, dev
         return gk

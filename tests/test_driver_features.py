@@ -117,6 +117,13 @@ def test_timedisplaced_per_slice_driver(tmp_path):
     res = qmc.results() if hasattr(qmc, "results") else qmc.handler.results()
     td = qmc.handler.results()["timeDisplacedDev"]
     assert 0.0 <= td[0] < 1e-8   # fp64 wrap drift is tiny
+    # per-slice G also yields the tau-integrated pairing
+    # susceptibilities (Wick at fixed field; oracle-tested in
+    # test_time_displaced.py) — the driver books them as scalars
+    res = qmc.handler.results()
+    assert np.isfinite(res["pairingSusceptibilityS"][0])
+    assert np.isfinite(res["pairingSusceptibilityD"][0])
+    assert res["pairingSusceptibilityS"][0] > 0.0  # on-site pair bubble
 
 
 def test_auto_stabilize_steps_s_down():

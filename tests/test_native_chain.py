@@ -59,6 +59,18 @@ def test_native_global_moves_and_time_displaced():
     gk, dev = mn.measure_time_displaced(st, per_slice=True)
     assert np.asarray(gk).shape == (cfg.m + 1, cfg.n_sites)
     assert float(dev) < 1e-3
+    # pairing susceptibilities through the native pair planes must match
+    # the full-complex representation on the same phi (oracle-tested in
+    # test_time_displaced.py; this pins the (re, im)-plane path)
+    _, _, ps_n, pd_n = mn.measure_time_displaced(
+        st, per_slice=True, susceptibilities=True)
+    mc = SDWModel(SDWConfig(L=2, opdim=2, r=0.8, beta=1.0, m=4, s=2,
+                            dtype="float32", globalShift=True))
+    stc = mc.refresh_from_field(mc.init_state(jax.random.key(7)))
+    _, _, ps_c, pd_c = mc.measure_time_displaced(
+        stc._replace(phi=st.phi), per_slice=True, susceptibilities=True)
+    np.testing.assert_allclose(float(ps_n), float(ps_c), atol=2e-4)
+    np.testing.assert_allclose(float(pd_n), float(pd_c), atol=2e-3)
 
 
 @pytest.mark.slow

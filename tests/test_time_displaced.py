@@ -212,3 +212,143 @@ def test_per_slice_time_displaced_sdw():
     # the projected observable carries the per-slice axis
     gk, dev2 = model.measure_time_displaced(state, per_slice=True)
     assert np.asarray(gk).shape == (cfg.m + 1, cfg.n_sites)
+
+
+def _dwave_form_factor(lat) -> np.ndarray:
+    """Independent d_{x2-y2} form-factor matrix from the lattice's
+    neighbor table (+1 along x, -1 along y)."""
+    N = lat.n_sites
+    nbr = lat.neighbors()
+    D = np.zeros((N, N))
+    s = np.arange(N)
+    np.add.at(D, (s, nbr[:, 0]), 1.0)
+    np.add.at(D, (s, nbr[:, 1]), 1.0)
+    np.add.at(D, (s, nbr[:, 2]), -1.0)
+    np.add.at(D, (s, nbr[:, 3]), -1.0)
+    return D
+
+
+def test_pair_susceptibilities_free_fermion():
+    """U=0 closed form: in the expK eigenbasis G(tau) = Q diag(g) Q^T
+    with g_p(l) = a_p^l / (1 + a_p^m), so
+        P_s = (1/N) sum_l w_l sum_p g_p(l)^2
+    and the d-wave integral contracts the same spectral G against the
+    form factor."""
+    cfg = HubbardConfig(L=4, U=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(0))
+    G_all, _dev = model.time_displaced_greens_all(state.field)
+    ps, pd = model.pair_susceptibilities(G_all)
+
+    expK = np.asarray(model.prop.expK, np.float64)
+    a, Q = np.linalg.eigh(expK)
+    w = np.full(cfg.m + 1, cfg.dtau)
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    g = lambda l: a ** l / (1.0 + a ** cfg.m)  # noqa: E731
+    ps_exp = sum(w[l] * float((g(l) ** 2).sum())
+                 for l in range(cfg.m + 1)) / cfg.n_sites
+    np.testing.assert_allclose(float(ps), ps_exp, rtol=1e-10)
+
+    D = _dwave_form_factor(model.lat)
+    pd_exp = 0.0
+    for l in range(cfg.m + 1):
+        G = (Q * g(l)) @ Q.T
+        pd_exp += w[l] * float(np.sum(G * (D @ G @ D.T)))
+    pd_exp /= cfg.n_sites
+    np.testing.assert_allclose(float(pd), pd_exp, rtol=1e-8)
+    assert ps_exp > 0.0 and pd_exp > 0.0  # free pair bubbles are positive
+
+
+def test_pair_susceptibilities_interacting_oracle():
+    """Fixed random field, interacting: the model's Wick contraction
+    matches the same trapezoid evaluated in fp64 NumPy on brute-force
+    B-product Greens."""
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64",
+                        ph_symmetry="off")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(1))
+    G_all, dev = model.time_displaced_greens_all(state.field)
+    ps, pd = model.pair_susceptibilities(G_all)
+    assert float(dev) < 1e-8
+
+    oracle = HubbardOracle(L=2, U=4.0, beta=2.0, m=16)
+    s_field = np.asarray(state.field)
+    N = cfg.n_sites
+    up, dn = [], []
+    for spin, out in [(+1, up), (-1, dn)]:
+        full = oracle.b_chain(s_field, spin, 0, cfg.m)
+        G0 = np.linalg.inv(np.eye(N) + full)
+        for tau in range(cfg.m + 1):
+            out.append(oracle.b_chain(s_field, spin, 0, tau) @ G0)
+    w = np.full(cfg.m + 1, cfg.dtau)
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    D = _dwave_form_factor(model.lat)
+    ps_exp = sum(w[l] * float(np.sum(up[l] * dn[l]))
+                 for l in range(cfg.m + 1)) / N
+    pd_exp = sum(w[l] * float(np.sum(up[l] * (D @ dn[l] @ D.T)))
+                 for l in range(cfg.m + 1)) / N
+    np.testing.assert_allclose(float(ps), ps_exp, atol=1e-8)
+    np.testing.assert_allclose(float(pd), pd_exp, atol=1e-7)
+
+
+def test_pair_susceptibilities_ph_mode_matches_two_sector():
+    """ph mode reconstructs the down sector exactly, so both pairing
+    susceptibilities must match the two-sector run on the same field."""
+    kw = dict(L=2, U=4.0, mu=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    m2 = HubbardModel(HubbardConfig(**kw, ph_symmetry="off"))
+    mp = HubbardModel(HubbardConfig(**kw, ph_symmetry="on"))
+    key = jax.random.key(3)
+    out2 = m2.measure_time_displaced(m2.init_state(key), per_slice=True,
+                                     susceptibilities=True)
+    outp = mp.measure_time_displaced(mp.init_state(key), per_slice=True,
+                                     susceptibilities=True)
+    np.testing.assert_allclose(float(out2[2]), float(outp[2]), atol=1e-8)
+    np.testing.assert_allclose(float(out2[3]), float(outp[3]), atol=1e-8)
+
+
+@pytest.mark.parametrize("opdim", [2, 3])
+def test_sdw_pair_susceptibilities_vs_oracle(opdim):
+    """SDW tau-integrated pairing susceptibilities: the model's
+    sector-aware contraction (with D-dressed d-wave factors) matches an
+    independent complex-NumPy Wick evaluation on brute-force 4N Greens
+    from the oracle's own B matrices."""
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
+    from tests.oracle.sdw_oracle import SDWOracle
+
+    cfg = SDWConfig(L=2, opdim=opdim, r=0.5, beta=1.0, m=8, s=2,
+                    dtype="float64")
+    model = SDWModel(cfg)
+    state = model.init_state(jax.random.key(4))
+    G_all, dev = model.time_displaced_greens_all(state.phi)
+    ps, pd = model.pair_susceptibilities(G_all)
+    assert float(dev) < 1e-8
+
+    oracle = SDWOracle(L=2, opdim=opdim, r=0.5, beta=1.0, m=8)
+    phi = np.asarray(state.phi)
+    N = cfg.n_sites
+    full = oracle.b_chain(phi, 0, cfg.m)
+    G0 = np.linalg.inv(np.eye(4 * N) + full)
+    D = _dwave_form_factor(model.lat)
+    blk = lambda G, o, p: G[o * N:(o + 1) * N, p * N:(p + 1) * N]
+    terms = (((0, 0), (1, 1), 1.0), ((2, 2), (3, 3), 1.0),
+             ((0, 3), (1, 2), -1.0), ((2, 1), (3, 0), -1.0))
+    w = np.full(cfg.m + 1, cfg.dtau)
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    ps_exp = pd_exp = 0.0
+    for tau in range(cfg.m + 1):
+        Gt = oracle.b_chain(phi, 0, tau) @ G0
+        for (a1, c1), (a2, c2), sgn in terms:
+            m1, m2 = blk(Gt, a1, c1), blk(Gt, a2, c2)
+            ps_exp += w[tau] * sgn * float(np.real(m1 * m2).sum())
+            d1 = (D @ m1 if a1 % 2 else m1) @ (D.T if c1 % 2 else
+                                               np.eye(N))
+            d2 = (D @ m2 if a2 % 2 else m2) @ (D.T if c2 % 2 else
+                                               np.eye(N))
+            pd_exp += w[tau] * sgn * float(np.real(d1 * d2).sum())
+    ps_exp /= N
+    pd_exp /= N
+    np.testing.assert_allclose(float(ps), ps_exp, atol=1e-8)
+    np.testing.assert_allclose(float(pd), pd_exp, atol=1e-7)
