@@ -96,6 +96,7 @@ _DRIVER_KEYS = {
     "meshDevices": int,
     "timedisplaced": _to_bool,
     "timedisplacedSlices": _to_bool,
+    "currentCorrelators": _to_bool,
     "autoStabilize": _to_bool,
     "greenDevThreshold": float,
 }
@@ -115,6 +116,7 @@ _DRIVER_FIELD = {
     "meshDevices": "mesh_devices",
     "timedisplaced": "timedisplaced",
     "timedisplacedSlices": "timedisplaced_slices",
+    "currentCorrelators": "current_correlators",
     "autoStabilize": "auto_stabilize",
     "greenDevThreshold": "green_dev_threshold",
 }

@@ -54,6 +54,10 @@ class DriverConfig:
     # instead of the K+1 stabilization-grid points; the wrap deviation is
     # recorded as the timeDisplacedDev observable
     timedisplaced_slices: bool = False
+    # tau-integrated current-current correlator Lambda_xx(q, iw=0) +
+    # superfluid stiffness rho_s once per block (Hubbard; needs the
+    # G(0,tau)/G(tau,tau) reverse chains on top of G(tau,0))
+    current_correlators: bool = False
     # shard the walker axis over this many devices (0 = single device;
     # walkers are embarrassingly parallel, so XLA partitions the vmapped
     # blocks across the mesh with no collectives — the TPU-native
@@ -210,6 +214,14 @@ class DetQMC:
                 self._timedisp_chi = True
             self._timedisp_fn = jax.jit(vm(_ft.partial(
                 model.measure_time_displaced, **kw)))
+        self._current_fn = None
+        if params.current_correlators:
+            if not hasattr(model, "measure_current_correlators"):
+                raise ValueError(
+                    f"{type(model).__name__} has no current-correlator "
+                    "measurement (currentCorrelators is Hubbard-only)")
+            self._current_fn = jax.jit(vm(
+                model.measure_current_correlators))
 
     # -- setup / resume -----------------------------------------------------
     def _build_metadata(self, extra: Metadata) -> Metadata:
@@ -427,6 +439,12 @@ class DetQMC:
                 gk = np.asarray(gk)
                 batch["greenKTauVector"] = gk.reshape(
                     1, gk.shape[0], -1)  # one sample per block
+            if self._current_fn is not None:
+                lam_q, rho_s, cdev = self._current_fn(self.states)
+                batch["currentCorrelatorVector"] = np.asarray(
+                    lam_q)[None]                          # (1, W, N)
+                batch["rhoS"] = np.asarray(rho_s)[None]   # (1, W)
+                batch["currentWrapDev"] = np.asarray(cdev)[None]
             self.handler.insert_batch(batch)
             if self.p.dump_config_stream and self.p.outdir and \
                     hasattr(self.states, "phi"):

@@ -210,7 +210,8 @@ class HubbardModel:
     constants.
     """
 
-    vector_observables = ("spinCorrelation", "greenKTauVector")
+    vector_observables = ("spinCorrelation", "greenKTauVector",
+                          "currentCorrelatorVector")
 
     def __init__(self, cfg: HubbardConfig):
         self.cfg = cfg
@@ -250,6 +251,18 @@ class HubbardModel:
             np.add.at(Dmat, (s_, nbr[:, 2]), -1.0)
             np.add.at(Dmat, (s_, nbr[:, 3]), -1.0)
             self._dwave_D = jnp.asarray(Dmat, dt)
+            # cos/sin Fourier matrices + smallest-momentum indices for
+            # the current correlator (no complex arrays on TPU) and the
+            # longitudinal/transverse superfluid-stiffness limits
+            kg = self.lat.k_grid()                        # (N, 2)
+            rg = c_.astype(np.float64)
+            self._four_cos = jnp.asarray(np.cos(kg @ rg.T), dt)
+            self._four_sin = jnp.asarray(np.sin(kg @ rg.T), dt)
+            q1 = 2.0 * np.pi / cfg.L
+            self._q_long_idx = int(np.argmin(
+                np.abs(kg - np.asarray([q1, 0.0])).sum(axis=1)))
+            self._q_trans_idx = int(np.argmin(
+                np.abs(kg - np.asarray([0.0, q1])).sum(axis=1)))
         else:
             self._dwave_D = None
         # site-update path (see HubbardConfig.update_kernel). The kernels
@@ -706,15 +719,12 @@ class HubbardModel:
         return new_state, obs_mean
 
     # -- time-displaced Green functions ------------------------------------
-    def time_displaced_greens(self, field: jax.Array) -> jax.Array:
-        """G(tau=k*s, 0) for k = 0..K: (K+1, 2, N, N).
-
-        Builds both half-chain stacks fresh from the field and evaluates
-        all K+1 displaced Greens in one batched stable solve (reference:
-        TimeDisplaced=true template path, SURVEY.md §3 "DQMC core"; here
-        the tau-resolution is the stabilization grid)."""
+    def _td_stacks(self, field: jax.Array):
+        """Both half-chain UdV stacks for unequal-time evaluation:
+        left entries k hold B(ks, 0), right entries k hold
+        B(beta, ks)^H — built fresh from the field, (K+1)-batched."""
         cfg = self.cfg
-        N, K, s_int = cfg.n_sites, cfg.n_stack, cfg.s
+        K, s_int = cfg.n_stack, cfg.s
         dt, sdt = cfg.jdtype, cfg.stab_jdtype
         cb = self.cb_sparse
         eye_f = self._eye_mixed()
@@ -753,8 +763,14 @@ class HubbardModel:
                 V = jnp.concatenate([eye_f.V[None], emitted.V])
             return UDV(U, d, V)
 
-        left = build(transposed=False)    # entries k: B_{ks}..B_1
-        right_t = build(transposed=True)  # entries k: (B_m..B_{ks+1})^H
+        return build(transposed=False), build(transposed=True)
+
+    def _gtz(self):
+        """Dispatch the stable dense-RHS solver gtz(left, right_t) =
+        [1 + A C]^{-1} A (A from left, C^H from right_t), matching the
+        equal-time green path's kernel choice."""
+        cfg = self.cfg
+        N, sdt = cfg.n_sites, cfg.stab_jdtype
         from detqmc_tpu.linalg.pallas_green_lanes import MAX_N
         from detqmc_tpu.linalg.udv import (green_tau_zero,
                                            green_tau_zero_df32,
@@ -774,6 +790,18 @@ class HubbardModel:
         else:
             gtz = lambda l_, r_: green_tau_zero(       # noqa: E731
                 l_, r_, compute_dtype=sdt)
+        return gtz
+
+    def time_displaced_greens(self, field: jax.Array) -> jax.Array:
+        """G(tau=k*s, 0) for k = 0..K: (K+1, 2, N, N).
+
+        Builds both half-chain stacks fresh from the field and evaluates
+        all K+1 displaced Greens in one batched stable solve (reference:
+        TimeDisplaced=true template path, SURVEY.md §3 "DQMC core"; here
+        the tau-resolution is the stabilization grid)."""
+        cfg = self.cfg
+        left, right_t = self._td_stacks(field)
+        gtz = self._gtz()
         G_up = gtz(left, right_t)
         if not cfg.ph_on:
             return G_up
@@ -832,6 +860,136 @@ class HubbardModel:
             [blocks.reshape((K * s_int,) + anchors.shape[1:]),
              anchors[K][None]], axis=0)
         return G_all, devs.max()
+
+    def unequal_time_greens_all(self, field: jax.Array):
+        """G(tau,0), G(0,tau) and G(tau,tau) at EVERY slice, both spin
+        sectors: three (m+1, 2, N, N) arrays + the max wrap deviation.
+
+        The reverse propagator comes from the stable swapped-stack
+        solve: with A = B(tau,0) (left stack) and C = B(beta,tau)
+        (right stack), gtz(right_t, left) = [1 + C^H A^H]^{-1} C^H =
+        [(1 + C A)^{-1} C]^H, so G(0,tau) = -(1+CA)^{-1}C =
+        -gtz(right_t, left)^T for the real field. Equal-time anchors
+        use the standard pair formula at each stabilization point. All
+        three chains then wrap between anchors (G(0,tau+1) =
+        G(0,tau) B^{-1}; G(tau+1,tau+1) = B G B^{-1}), each anchor
+        mismatch monitored like green_dev. In ph mode the down sector
+        is reconstructed exactly: G_dn(tau,0) = eta G_up(beta,tau)^T
+        eta, G_dn(0,tau) = -eta G_up(tau,0)^T eta, G_dn(tau,tau) =
+        eta (1 - G_up(tau,tau))^T eta (all from eta B_dn eta =
+        B_up^{-T} at mu = 0).
+
+        Reference: the TimeDisplaced=true path carries BOTH G(tau,0)
+        and G(0,tau) forward/backward propagators (SURVEY.md §3 "DQMC
+        core", §9 "Unequal-time")."""
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        cb = self.cb_sparse
+        left, right_t = self._td_stacks(field)
+        gtz = self._gtz()
+        G_fwd = gtz(left, right_t)           # (K+1, C, N, N) = G_up(t,0)
+        G_bwd = gtz(right_t, left)           # swapped roles
+        Gtt_a = jax.vmap(self._green)(left, right_t)      # G(tau,tau)
+        T = lambda M: jnp.swapaxes(M, -1, -2)  # noqa: E731
+        if cfg.ph_on:
+            eta = self.stagger.astype(G_fwd.dtype)
+            sgn = eta[:, None] * eta[None, :]
+            t0 = jnp.concatenate([G_fwd, sgn * G_bwd], axis=1)
+            zt = jnp.concatenate([-T(G_bwd), -sgn * T(G_fwd)], axis=1)
+            eyeN = jnp.eye(cfg.n_sites, dtype=Gtt_a.dtype)
+            tt = jnp.concatenate([Gtt_a, sgn * (eyeN - T(Gtt_a))], axis=1)
+        else:
+            t0, zt, tt = G_fwd, -T(G_bwd), Gtt_a
+        e = jax.vmap(self.exp_v)(field)
+        if cfg.ph_on:
+            e = jnp.concatenate([e, 1.0 / e], axis=1)
+
+        def interval(_, xs):
+            a0, an, b0, bn, c0, cn, e_k = xs
+
+            def wrap(carry, j):
+                a, b, c = carry
+                a = bchain.b_mult_left(self.prop, e_k[j], a,
+                                       checkerboard=cb)
+                b = bchain.b_inv_mult_right(self.prop, b, e_k[j],
+                                            checkerboard=cb)
+                c = bchain.b_mult_left(self.prop, e_k[j], c,
+                                       checkerboard=cb)
+                c = bchain.b_inv_mult_right(self.prop, c, e_k[j],
+                                            checkerboard=cb)
+                return (a, b, c), (a, b, c)
+
+            last, wrapped = jax.lax.scan(wrap, (a0, b0, c0),
+                                         jnp.arange(s_int - 1))
+            (a_e, b_e, c_e), _ = wrap(last, s_int - 1)
+            dev = jnp.maximum(
+                jnp.abs(a_e - an).max(),
+                jnp.maximum(jnp.abs(b_e - bn).max(),
+                            jnp.abs(c_e - cn).max()))
+            outs = tuple(
+                jnp.concatenate([g0[None], w], axis=0)
+                for g0, w in zip((a0, b0, c0), wrapped))
+            return None, (outs, dev)
+
+        e_blocks = e.reshape((K, s_int) + e.shape[1:])
+        _, ((blk_a, blk_b, blk_c), devs) = jax.lax.scan(
+            interval, None, (t0[:K], t0[1:], zt[:K], zt[1:],
+                             tt[:K], tt[1:], e_blocks))
+        shape = (K * s_int,) + t0.shape[1:]
+        cat = lambda blk, anc: jnp.concatenate(   # noqa: E731
+            [blk.reshape(shape), anc[K][None]], axis=0)
+        return cat(blk_a, t0), cat(blk_b, zt), cat(blk_c, tt), devs.max()
+
+    def measure_current_correlators(self, state: WalkerState):
+        """tau-integrated current-current correlator Lambda_xx(q, iw=0)
+        over the full q grid, plus the superfluid-stiffness estimator
+        rho_s = [Lambda_L - Lambda_T] / 4 from the smallest longitudinal
+        (qx = 2pi/L, qy = 0) and transverse (qx = 0, qy = 2pi/L) momenta
+        (Scalapino-White-Zhang). Wick at fixed field with all three
+        unequal-time chains; with j_x(i) = i t sum_sigma
+        (c+_{i+x} c_i - c+_i c_{i+x}) every contraction is an
+        elementwise product of +x-shifted G matrices:
+
+            <j_x(i,tau) j_x(j,0)> = -t^2 [ u(tau)_i u(0)_j
+                - sum_sigma ((PX)(YP^T) - (PXP^T)Y - X(PYP^T)
+                             + (XP^T)(PY))_ij ]
+
+        with X = G(0,tau)^T, Y = G(tau,0), P the +x shift, and
+        u(tau)_i = sum_sigma [G(tau,tau)_{i,i+x} - G(tau,tau)_{i+x,i}]
+        the per-configuration bond current. Reference observable class:
+        current correlators (SURVEY.md §1 "pairing and current
+        correlators"). Returns (lambda_q (N,), rho_s, wrap_dev). 2-D
+        lattices only."""
+        cfg = self.cfg
+        if cfg.d != 2:
+            raise ValueError("current correlators are implemented for "
+                             "d = 2 lattices")
+        t0, zt, tt, dev = self.unequal_time_greens_all(state.field)
+        N = cfg.n_sites
+        px = jnp.asarray(self.lat.neighbors()[:, 0], jnp.int32)  # i -> i+x
+        ar = jnp.arange(N)
+
+        u_tau = ((tt[:, :, ar, px] - tt[:, :, px, ar])
+                 .sum(axis=1))                           # (m+1, N)
+        X = jnp.swapaxes(zt, -1, -2)                     # G(0,t)^T
+        Y = t0
+        PX, XP = X[..., px, :], X[..., :, px]
+        PY, YP = Y[..., px, :], Y[..., :, px]
+        PXP = PX[..., :, px]
+        PYP = PY[..., :, px]
+        conn = (PX * YP - PXP * Y - X * PYP + XP * PY).sum(axis=1)
+        w = jnp.full((cfg.m + 1,), cfg.dtau, conn.dtype)
+        w = w.at[0].mul(0.5).at[-1].mul(0.5)             # trapezoid
+        lam_mat = -(cfg.t ** 2) * (
+            jnp.einsum("t,ti,j->ij", w, u_tau, u_tau[0])
+            - jnp.einsum("t,tij->ij", w, conn))
+        Fc, Fs = self._four_cos, self._four_sin
+        lam_q = (jnp.einsum("qi,ij,qj->q", Fc, lam_mat, Fc,
+                            precision="highest")
+                 + jnp.einsum("qi,ij,qj->q", Fs, lam_mat, Fs,
+                              precision="highest")) / N
+        rho_s = 0.25 * (lam_q[self._q_long_idx] - lam_q[self._q_trans_idx])
+        return lam_q, rho_s, dev
 
     def measure_time_displaced(self, state: WalkerState,
                                per_slice: bool = False,

@@ -147,3 +147,20 @@ def test_auto_stabilize_steps_s_down():
     # the post-rebuild drift reflects the smaller interval
     dev = float(np.median(np.asarray(qmc.states.green_dev)))
     assert np.isfinite(dev)
+
+
+def test_current_correlators_driver():
+    """currentCorrelators books Lambda_xx(q), rhoS and the wrap-dev
+    monitor into run output (formula oracle-tested in
+    test_time_displaced.py)."""
+    cfg = HubbardConfig(L=4, U=4.0, beta=2.0, m=16, s=4, dtype="float64")
+    p = DriverConfig(sweeps=4, thermalization=2, n_walkers=2, seed=7,
+                     block_meas=4, current_correlators=True)
+    qmc = DetQMC(HubbardModel(cfg), p)
+    qmc.run()
+    res = qmc.handler.results()
+    assert np.isfinite(res["rhoS"][0])
+    assert 0.0 <= res["currentWrapDev"][0] < 1e-8
+    lam, _ = qmc.handler.vector_results()["currentCorrelatorVector"]
+    assert lam.shape == (cfg.n_sites,)
+    assert np.isfinite(lam).all()

@@ -352,3 +352,149 @@ def test_sdw_pair_susceptibilities_vs_oracle(opdim):
     pd_exp /= N
     np.testing.assert_allclose(float(ps), ps_exp, atol=1e-8)
     np.testing.assert_allclose(float(pd), pd_exp, atol=1e-7)
+
+
+def _brute_unequal_time(oracle, field, m, N, spin):
+    """fp64 brute-force G(tau,0), G(0,tau), G(tau,tau) per slice."""
+    full = oracle.b_chain(field, spin, 0, m)
+    G0 = np.linalg.inv(np.eye(N) + full)
+    out = []
+    for tau in range(m + 1):
+        A = oracle.b_chain(field, spin, 0, tau)
+        C = oracle.b_chain(field, spin, tau, m)
+        out.append((A @ G0,
+                    -np.linalg.inv(np.eye(N) + C @ A) @ C,
+                    np.linalg.inv(np.eye(N) + A @ C)))
+    return out
+
+
+def test_unequal_time_all_directions_vs_oracle():
+    """G(tau,0), G(0,tau) = -(1+CA)^{-1}C and G(tau,tau) at every slice
+    match brute-force fp64 products, both spin sectors."""
+    cfg = HubbardConfig(L=2, U=4.0, beta=2.0, m=16, s=4, dtype="float64",
+                        ph_symmetry="off")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(1))
+    t0, zt, tt, dev = model.unequal_time_greens_all(state.field)
+    t0, zt, tt = map(np.asarray, (t0, zt, tt))
+    assert float(dev) < 1e-8
+    oracle = HubbardOracle(L=2, U=4.0, beta=2.0, m=16)
+    f = np.asarray(state.field)
+    for comp, spin in [(0, +1), (1, -1)]:
+        ref = _brute_unequal_time(oracle, f, cfg.m, cfg.n_sites, spin)
+        for tau, (rt0, rzt, rtt) in enumerate(ref):
+            np.testing.assert_allclose(t0[tau, comp], rt0, atol=1e-8,
+                                       err_msg=f"t0 tau={tau}")
+            np.testing.assert_allclose(zt[tau, comp], rzt, atol=1e-8,
+                                       err_msg=f"zt tau={tau}")
+            np.testing.assert_allclose(tt[tau, comp], rtt, atol=1e-8,
+                                       err_msg=f"tt tau={tau}")
+
+
+def test_unequal_time_free_fermion_reverse():
+    """U=0 closed form for the reverse propagator:
+    G(0,tau) = -(1 - G0) expK^{-tau} = -expK^{m-tau}(1+expK^m)^{-1}."""
+    cfg = HubbardConfig(L=4, U=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(0))
+    _, zt, _, dev = model.unequal_time_greens_all(state.field)
+    zt = np.asarray(zt)
+    assert float(dev) < 1e-10
+    expK = np.asarray(model.prop.expK, np.float64)
+    denom = np.linalg.inv(np.eye(cfg.n_sites)
+                          + np.linalg.matrix_power(expK, cfg.m))
+    for tau in range(cfg.m + 1):
+        expected = -np.linalg.matrix_power(expK, cfg.m - tau) @ denom
+        np.testing.assert_allclose(zt[tau, 0], expected, atol=1e-10,
+                                   err_msg=f"tau={tau}")
+
+
+def test_unequal_time_ph_mode_matches_two_sector():
+    """ph mode's reconstructed down sectors for all three chains equal
+    the two-sector run on the same field."""
+    kw = dict(L=2, U=4.0, mu=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    m2 = HubbardModel(HubbardConfig(**kw, ph_symmetry="off"))
+    mp = HubbardModel(HubbardConfig(**kw, ph_symmetry="on"))
+    key = jax.random.key(3)
+    o2 = m2.unequal_time_greens_all(m2.init_state(key).field)
+    op = mp.unequal_time_greens_all(mp.init_state(key).field)
+    for a, b, name in zip(o2[:3], op[:3], ("t0", "zt", "tt")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-8, err_msg=name)
+
+
+def test_current_correlator_vs_brute_force():
+    """Lambda_xx(q) from the model's shifted-matrix contraction matches
+    an explicit per-(i, j, s1, s2) fp64 Wick evaluation on brute-force
+    Greens, at every q."""
+    cfg = HubbardConfig(L=4, U=4.0, beta=1.0, m=8, s=4, dtype="float64",
+                        ph_symmetry="off")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(2))
+    lam_q, rho_s, dev = model.measure_current_correlators(state)
+    assert float(dev) < 1e-8
+
+    oracle = HubbardOracle(L=4, U=4.0, beta=1.0, m=8)
+    f = np.asarray(state.field)
+    N, m, t = cfg.n_sites, cfg.m, cfg.t
+    xp = model.lat.neighbors()[:, 0]
+    ref = {s: _brute_unequal_time(oracle, f, m, N, s) for s in (+1, -1)}
+    w = np.full(m + 1, cfg.dtau)
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    lam = np.zeros((N, N))
+    sides = {+1: (lambda i: xp[i], lambda i: i),
+             -1: (lambda i: i, lambda i: xp[i])}   # (a, b) of s c+_a c_b
+    for tau in range(m + 1):
+        u = np.zeros(N)
+        v = np.zeros(N)
+        conn = np.zeros((N, N))
+        for spin in (+1, -1):
+            Gt0_t, G0t_t, Gtt_t = ref[spin][tau]
+            _, _, G00 = ref[spin][0]
+            for i in range(N):
+                u[i] += Gtt_t[i, xp[i]] - Gtt_t[xp[i], i]
+                v[i] += G00[i, xp[i]] - G00[xp[i], i]
+            for s1 in (+1, -1):
+                a1f, b1f = sides[s1]
+                for s2 in (+1, -1):
+                    a2f, b2f = sides[s2]
+                    for i in range(N):
+                        for j in range(N):
+                            conn[i, j] += s1 * s2 * (
+                                -G0t_t[b2f(j), a1f(i)]
+                                * Gt0_t[b1f(i), a2f(j)])
+        lam += w[tau] * (-(t ** 2)) * (np.outer(u, v) + conn)
+    kg = model.lat.k_grid()
+    rg = model.lat.coords(np.arange(N)).astype(np.float64)
+    F = np.exp(-1j * (kg @ rg.T))
+    lam_q_ref = np.real(np.einsum("qi,ij,qj->q", F, lam, F.conj())) / N
+    np.testing.assert_allclose(np.asarray(lam_q), lam_q_ref, atol=1e-8)
+    q1 = 2.0 * np.pi / cfg.L
+    il = int(np.argmin(np.abs(kg - [q1, 0.0]).sum(axis=1)))
+    it_ = int(np.argmin(np.abs(kg - [0.0, q1]).sum(axis=1)))
+    np.testing.assert_allclose(
+        float(rho_s), 0.25 * (lam_q_ref[il] - lam_q_ref[it_]), atol=1e-8)
+
+
+def test_current_correlator_f_sum_sanity():
+    """Sign/normalization sanity at U=0: the longitudinal limit obeys
+    the f-sum rule Lambda_L(q->0) = -<k_x> (Scalapino-White-Zhang);
+    at the smallest finite q on L=8 they agree to ~a few percent."""
+    cfg = HubbardConfig(L=8, U=0.0, beta=2.0, m=16, s=4, dtype="float64")
+    model = HubbardModel(cfg)
+    state = model.init_state(jax.random.key(0))
+    lam_q, _rho, dev = model.measure_current_correlators(state)
+    assert float(dev) < 1e-10
+    N = cfg.n_sites
+    expK = np.asarray(model.prop.expK, np.float64)
+    G0 = np.linalg.inv(np.eye(N) + np.linalg.matrix_power(expK, cfg.m))
+    A = np.eye(N) - G0.T                      # <c+_a c_b>, per spin
+    xp = model.lat.neighbors()[:, 0]
+    kx = 0.0
+    for i in range(N):
+        kx += 2 * (-cfg.t) * (A[xp[i], i] + A[i, xp[i]])  # both spins
+    kx /= N
+    lam_L = float(np.asarray(lam_q)[model._q_long_idx])
+    assert kx < 0.0 and lam_L > 0.0           # sign convention pinned
+    assert abs(lam_L - (-kx)) < 0.2 * abs(kx)
