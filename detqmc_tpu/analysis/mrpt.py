@@ -158,6 +158,46 @@ def find_binder_intersection(m1: MultireweightPT, m2: MultireweightPT,
     return 0.5 * (r_lo + r_hi)
 
 
+def find_observable_maximum(m: MultireweightPT, name: str,
+                            r_lo: float, r_hi: float,
+                            tol: float = 1e-8):
+    """Location and value of the maximum of the reweighted <O>(r) by
+    golden-section search (reference: the mrpt family's susceptibility-
+    maximum finders). Assumes <O>(r) is unimodal on [r_lo, r_hi]."""
+    g = 0.5 * (np.sqrt(5.0) - 1.0)
+    a, b = float(r_lo), float(r_hi)
+    c, d = b - g * (b - a), a + g * (b - a)
+    fc, fd = m.expectation(name, c), m.expectation(name, d)
+    while (b - a) > tol:
+        if fc > fd:
+            b, d, fd = d, c, fc
+            c = b - g * (b - a)
+            fc = m.expectation(name, c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + g * (b - a)
+            fd = m.expectation(name, d)
+    r_star = 0.5 * (a + b)
+    return r_star, float(m.expectation(name, r_star))
+
+
+def _leave_one_out(actions, observables, b: int, n_blocks: int):
+    """Leave-one-out block copies of a PT run's series (block b of
+    n_blocks deleted from every parameter's series, jackknife
+    convention)."""
+    acts = []
+    obs: Dict[str, List[np.ndarray]] = {k: [] for k in observables}
+    for k_idx, a in enumerate(actions):
+        nb = len(a) // n_blocks
+        mask = np.ones(nb * n_blocks, bool)
+        mask[b * nb:(b + 1) * nb] = False
+        acts.append(a[:nb * n_blocks][mask])
+        for name, series_list in observables.items():
+            s = series_list[k_idx][:nb * n_blocks]
+            obs[name].append(s[mask])
+    return acts, obs
+
+
 def jackknife_reweighted(
     r_values, actions, observables, estimator:
         Callable[[MultireweightPT], float], n_blocks: int = 10):
@@ -172,16 +212,7 @@ def jackknife_reweighted(
 
     loo_vals = []
     for b in range(n_blocks):
-        acts = []
-        obs: Dict[str, List[np.ndarray]] = {k: [] for k in observables}
-        for k_idx, a in enumerate(actions):
-            nb = len(a) // n_blocks
-            mask = np.ones(nb * n_blocks, bool)
-            mask[b * nb:(b + 1) * nb] = False
-            acts.append(a[:nb * n_blocks][mask])
-            for name, series_list in observables.items():
-                s = series_list[k_idx][:nb * n_blocks]
-                obs[name].append(s[mask])
+        acts, obs = _leave_one_out(actions, observables, b, n_blocks)
         m = MultireweightPT(np.asarray(r_values), acts, obs)
         m.solve()
         loo_vals.append(estimator(m))
@@ -189,4 +220,38 @@ def jackknife_reweighted(
     err = np.sqrt((n_blocks - 1) / n_blocks
                   * np.sum((loo - loo.mean()) ** 2))
     est = n_blocks * est_full - (n_blocks - 1) * loo.mean()
+    return float(est), float(err)
+
+
+def jackknife_intersection(run1, run2, r_lo: float, r_hi: float,
+                           n_blocks: int = 10):
+    """Jackknifed Binder-cumulant crossing between two PT runs (two
+    system sizes): BOTH runs' FS solves repeat per leave-one-out block
+    (reference: the jackknifed intersect finders). Each ``run`` is a
+    ``(r_values, actions, observables)`` triple; observables must carry
+    phiSquared and phiFourth. Returns (r*, err); raises if the full
+    solve finds no crossing in [r_lo, r_hi]."""
+    def solved(run, b=None):
+        r_values, actions, observables = run
+        if b is not None:
+            actions, observables = _leave_one_out(actions, observables,
+                                                  b, n_blocks)
+        m = MultireweightPT(np.asarray(r_values), actions, observables)
+        m.solve()
+        return m
+
+    full = find_binder_intersection(solved(run1), solved(run2),
+                                    r_lo, r_hi)
+    if full is None:
+        raise ValueError(
+            f"no Binder crossing in [{r_lo}, {r_hi}] for the full data")
+    loo = []
+    for b in range(n_blocks):
+        x = find_binder_intersection(solved(run1, b), solved(run2, b),
+                                     r_lo, r_hi)
+        loo.append(full if x is None else x)
+    loo = np.asarray(loo)
+    err = np.sqrt((n_blocks - 1) / n_blocks
+                  * np.sum((loo - loo.mean()) ** 2))
+    est = n_blocks * full - (n_blocks - 1) * loo.mean()
     return float(est), float(err)

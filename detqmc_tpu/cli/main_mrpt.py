@@ -16,7 +16,13 @@ warning.
 Usage:
   python -m detqmc_tpu.cli.main_mrpt <pt-outdir> [--obs phiSquared]
       [--grid lo,hi,n] [--binder] [--jackknife B] [--discard N]
-"""
+      [--maxsusc NAME] [--intersect <pt-outdir-of-other-L>]
+
+--maxsusc locates the maximum of the reweighted <NAME>(r) (golden-
+section; reference: susceptibility-maximum finders); --intersect finds
+the Binder-cumulant crossing against a second run (another system
+size; reference: findBinderIntersect) — both with jackknifed errors
+when --jackknife B is given (the whole FS solve repeats per block)."""
 
 from __future__ import annotations
 
@@ -28,6 +34,9 @@ import numpy as np
 
 from detqmc_tpu.analysis.mrpt import (
     MultireweightPT,
+    find_binder_intersection,
+    find_observable_maximum,
+    jackknife_intersection,
     jackknife_reweighted,
 )
 from detqmc_tpu.io.series import load_series
@@ -78,6 +87,8 @@ def main(argv=None) -> int:
     do_binder = False
     jk = 0
     discard = 0
+    maxsusc = None
+    intersect_dir = None
     i = 1
     while i < len(argv):
         if argv[i] == "--obs":
@@ -91,12 +102,18 @@ def main(argv=None) -> int:
             jk = int(argv[i + 1]); i += 2
         elif argv[i] == "--discard":
             discard = int(argv[i + 1]); i += 2
+        elif argv[i] == "--maxsusc":
+            maxsusc = argv[i + 1]; i += 2
+        elif argv[i] == "--intersect":
+            intersect_dir = argv[i + 1]; i += 2
         else:
             print(f"unknown argument {argv[i]!r}", file=sys.stderr)
             return 2
 
+    if maxsusc is not None and maxsusc not in obs:
+        obs.append(maxsusc)
     for name in ("phiSquared", "phiFourth"):
-        if do_binder and name not in obs:
+        if (do_binder or intersect_dir is not None) and name not in obs:
             obs.append(name)
     r_values, actions, observables = load_pt_run(outdir, obs, discard)
     if grid is None:
@@ -124,6 +141,35 @@ def main(argv=None) -> int:
                 lambda mm_, n_=name: mm_.expectation(n_, r_mid),
                 n_blocks=jk)
             print(f"{name}(r={r_mid:.4f}) = {est!r} +/- {err!r}")
+
+    r_lo, r_hi = float(grid.min()), float(grid.max())
+    if maxsusc is not None:
+        r_star, val = find_observable_maximum(m, maxsusc, r_lo, r_hi)
+        line = f"max {maxsusc}: r = {r_star!r} (value {val!r})"
+        if jk > 1:
+            est, err = jackknife_reweighted(
+                r_values, actions, observables,
+                lambda mm_: find_observable_maximum(
+                    mm_, maxsusc, r_lo, r_hi)[0], n_blocks=jk)
+            line += f"; jackknifed location {est!r} +/- {err!r}"
+        print(line)
+
+    if intersect_dir is not None:
+        r2, a2, o2 = load_pt_run(intersect_dir, obs, discard)
+        m2 = MultireweightPT(r2, a2, o2)
+        m2.solve()
+        x = find_binder_intersection(m, m2, r_lo, r_hi)
+        if x is None:
+            print(f"no Binder crossing in [{r_lo}, {r_hi}]",
+                  file=sys.stderr)
+            return 1
+        line = f"binderIntersection = {x!r}"
+        if jk > 1:
+            est, err = jackknife_intersection(
+                (r_values, actions, observables), (r2, a2, o2),
+                r_lo, r_hi, n_blocks=jk)
+            line += f" (jackknifed {est!r} +/- {err!r})"
+        print(line)
     return 0
 
 

@@ -164,3 +164,100 @@ def test_mrpt_jackknife_and_binder():
     m2.solve()
     # U1 - U2 = (2.6 - 2.0)/3 * <a^2>/<a>^2 > 0 everywhere -> no crossing
     assert find_binder_intersection(m1, m2, 0.6, 1.4) is None
+
+def test_mrpt_observable_maximum():
+    """Golden-section maximum finder agrees with a dense scan of the
+    same reweighted curve (reference: susceptibility-maximum finders)."""
+    from detqmc_tpu.analysis.mrpt import find_observable_maximum
+
+    rng = np.random.default_rng(3)
+    A = 3.0
+    r_values = [0.5, 1.0, 2.0]
+    actions = [_sample_exp(rng, r, A, 20000) for r in r_values]
+    obs = {"chi": [a * (A - a) for a in actions]}
+    m = MultireweightPT(np.asarray(r_values),
+                        [a.copy() for a in actions], obs)
+    m.solve()
+    r_star, val = find_observable_maximum(m, "chi", 0.55, 1.95, tol=1e-9)
+    grid = np.linspace(0.55, 1.95, 2001)
+    curve = m.curve("chi", grid)
+    i = int(np.argmax(curve))
+    assert abs(r_star - grid[i]) < 2 * (grid[1] - grid[0])
+    assert val >= curve[i] - 1e-6
+
+
+def test_mrpt_jackknife_intersection():
+    """jackknife_intersection finds a constructed Binder crossing and
+    returns a positive, small error (the whole FS solve repeats per
+    leave-one-out block, both runs)."""
+    from detqmc_tpu.analysis.mrpt import jackknife_intersection
+
+    rng = np.random.default_rng(4)
+    A = 3.0
+    r_values = [0.5, 1.0, 2.0]
+    a1 = [_sample_exp(rng, r, A, 12000) for r in r_values]
+    a2 = [_sample_exp(rng, r, A, 12000) for r in r_values]
+    # pick k so U1 - U2 = [2 <a^2> - k <a^3>] / (3 <a>^2) crosses zero
+    # near r = 1.2: probe the moments there from a throwaway solve
+    probe = MultireweightPT(
+        np.asarray(r_values), [a.copy() for a in a1],
+        {"m2": [a ** 2 for a in a1], "m3": [a ** 3 for a in a1]})
+    probe.solve()
+    k = 2.0 * probe.expectation("m2", 1.2) / probe.expectation("m3", 1.2)
+    run1 = (r_values, a1, {"phiSquared": [a.copy() for a in a1],
+                           "phiFourth": [2.0 * a ** 2 for a in a1]})
+    run2 = (r_values, a2, {"phiSquared": [a.copy() for a in a2],
+                           "phiFourth": [k * a ** 3 for a in a2]})
+    est, err = jackknife_intersection(run1, run2, 0.55, 1.95,
+                                      n_blocks=6)
+    assert 0.55 < est < 1.95
+    assert abs(est - 1.2) < 0.25       # crossing engineered near 1.2
+    assert 0.0 < err < 0.2
+
+
+def test_mrpt_cli_maxsusc_and_intersect(tmp_path, capsys):
+    """CLI wiring: --maxsusc and --intersect on synthetic PT run dirs."""
+    from detqmc_tpu.cli.main_mrpt import main as mrpt_main
+    from detqmc_tpu.io.series import SeriesWriter
+    from detqmc_tpu.metadata import write_metadata
+
+    rng = np.random.default_rng(5)
+    A = 3.0
+    r_values = [0.5, 1.0, 2.0]
+
+    def write_run(root, fourth):
+        for kdx, r in enumerate(r_values):
+            a = _sample_exp(rng, r, A, 6000)
+            sub = root / f"p{kdx}"
+            sub.mkdir(parents=True)
+            write_metadata(str(sub / "info.dat"),
+                           {"r": str(r), "L": "2", "m": "4",
+                            "beta": "1.0"})
+            for name, series in (
+                    ("exchangeAction", a),
+                    ("phiSquared", a),
+                    ("phiFourth", fourth(a)),
+                    ("sdwSusceptibility", a * (A - a))):
+                w = SeriesWriter(str(sub / f"{name}.series"), name)
+                w.append(series)
+
+    # engineer a crossing near r = 1.2 (cf. test_mrpt_jackknife_
+    # intersection): U1 - U2 = [2<a^2> - k<a^3>] / (3<a>^2)
+    probe_a = [_sample_exp(np.random.default_rng(6), r, A, 6000)
+               for r in r_values]
+    probe = MultireweightPT(
+        np.asarray(r_values), [a.copy() for a in probe_a],
+        {"m2": [a ** 2 for a in probe_a],
+         "m3": [a ** 3 for a in probe_a]})
+    probe.solve()
+    k = 2.0 * probe.expectation("m2", 1.2) / probe.expectation("m3", 1.2)
+    write_run(tmp_path / "run1", lambda a: 2.0 * a ** 2)
+    write_run(tmp_path / "run2", lambda a: k * a ** 3)
+    rc = mrpt_main([str(tmp_path / "run1"), "--grid", "0.55,1.95,21",
+                    "--maxsusc", "sdwSusceptibility",
+                    "--intersect", str(tmp_path / "run2"),
+                    "--jackknife", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "max sdwSusceptibility" in out
+    assert "binderIntersection" in out and "+/-" in out

@@ -115,6 +115,11 @@ def test_example_configs_parse_and_run(tmp_path, capsys):
     mp, dp, ep = split_params(p, _SDW_KEYS, _PT_KEYS)
     build_sdw_config(mp), build_driver_config(dp)
     assert ep["values"].count(",") == 7
+    p = parse_args(["--conf", os.path.join(ex, "hubbard_dynamics.conf")])
+    mp, dp, _ = split_params(p, _HUBBARD_KEYS)
+    build_hubbard_config(mp)
+    dcfg = build_driver_config(dp)
+    assert dcfg.current_correlators and dcfg.timedisplaced_slices
 
     rc = hubbard_main([
         "--conf", os.path.join(ex, "hubbard_l8_beta8.conf"),

@@ -164,3 +164,19 @@ def test_current_correlators_driver():
     lam, _ = qmc.handler.vector_results()["currentCorrelatorVector"]
     assert lam.shape == (cfg.n_sites,)
     assert np.isfinite(lam).all()
+
+
+def test_sdw_timedisplaced_susceptibilities_driver():
+    """The generic driver hook books SDW pairing susceptibilities too
+    (SDW measure_time_displaced supports the susceptibilities kwarg)."""
+    cfg = SDWConfig(L=2, opdim=2, r=0.5, beta=1.0, m=8, s=2,
+                    dtype="float64")
+    p = DriverConfig(sweeps=2, thermalization=1, n_walkers=1, seed=3,
+                     block_meas=2, timedisplaced=True,
+                     timedisplaced_slices=True)
+    qmc = DetQMC(SDWModel(cfg), p)
+    qmc.run()
+    res = qmc.handler.results()
+    assert np.isfinite(res["pairingSusceptibilityS"][0])
+    assert np.isfinite(res["pairingSusceptibilityD"][0])
+    assert 0.0 <= res["timeDisplacedDev"][0] < 1e-8
