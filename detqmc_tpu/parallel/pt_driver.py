@@ -77,6 +77,18 @@ class DetQMCPT:
                 "chains per parameter value use PTConfig.n_ensembles "
                 "(config key ptEnsembles) — got "
                 f"n_walkers={params.n_walkers}")
+        ne = max(1, int(pt_params.n_ensembles))
+        if params.mesh_devices > 1:
+            lead, what = ((ne, "ptEnsembles") if ne > 1
+                          else (len(r_values), "replica count"))
+            if lead % params.mesh_devices != 0:
+                from detqmc_tpu.exceptions import ConfigurationError
+
+                raise ConfigurationError(
+                    f"{what} ({lead}) must divide evenly over "
+                    f"meshDevices ({params.mesh_devices}) — the "
+                    f"{'ensemble' if ne > 1 else 'replica'} axis is "
+                    "the sharded one")
         self.r_values = jnp.asarray(np.asarray(r_values, np.float64),
                                     model.cfg.jdtype)
         self.R = len(r_values)
@@ -218,6 +230,7 @@ class DetQMCPT:
         if loaded is None:
             self.states = with_r_all(init_states(keys))
             self.pt_state = init_pt_all()
+            self._shard_states()
             return
         arrays, extra, manifest = loaded
         saved_e = int(manifest.get("meta", {}).get("ptEnsembles", 1))
@@ -245,6 +258,40 @@ class DetQMCPT:
                                if key.startswith(pref)})
         self.measurements_done = int(manifest.get("measurements_done", 0))
         self.therm_done = int(manifest.get("therm_done", 0))
+        self._shard_states()
+
+    def _shard_states(self) -> None:
+        """Distribute the replica batch over a device mesh (no-op for
+        mesh_devices <= 1; same GSPMD pattern as the single-run driver's
+        walker sharding — the sharding propagates through the jitted
+        blocks, the exchange bookkeeping stays replicated). With
+        ensembles the ensemble axis shards (each device holds whole PT
+        systems, so swaps never cross devices); otherwise the replica
+        axis shards and the exchange's gather/argsort of (R,) scalars
+        lowers to collectives over the mesh."""
+        n_dev = self.p.mesh_devices
+        if n_dev <= 1:
+            return
+        devs = jax.devices()[:n_dev]
+        if len(devs) < n_dev:
+            raise RuntimeError(
+                f"mesh_devices={n_dev} but only {len(devs)} devices")
+        lead, axis = (self.E, "dp") if self.E > 1 else (self.R, "replica")
+        if lead % n_dev != 0:
+            from detqmc_tpu.exceptions import ConfigurationError
+
+            raise ConfigurationError(
+                f"the {axis} axis ({lead}) must divide evenly over "
+                f"mesh_devices ({n_dev})")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devs), (axis,))
+        shard = NamedSharding(mesh, P(axis))
+        self.states = jax.tree.map(
+            lambda a: jax.device_put(a, shard), self.states)
+        pt_spec = shard if self.E > 1 else NamedSharding(mesh, P())
+        self.pt_state = jax.tree.map(
+            lambda a: jax.device_put(a, pt_spec), self.pt_state)
 
     def _out_of_time(self, margin: float = 0.0) -> bool:
         if self.p.walltime_secs <= 0:
