@@ -1946,15 +1946,12 @@ class SDWModel:
         V = jnp.concatenate([eye_f.V[None], emitted.V])
         return UDV(U, d, V)
 
-    def time_displaced_greens(self, phi) -> jax.Array:
-        """Stable G(tau = k s dtau, 0) for k = 0..K: (K+1, dim, dim)
-        (reference: the SDW model's unequal-time Green support; tau on the
-        stabilization grid, same approach as hubbard.time_displaced_greens
-        — both half-chain stacks built fresh, one batched stable solve)."""
+    def _td_solver(self):
+        """The stable dense-RHS solver gtz(left, right_t) =
+        [1 + A C]^{-1} A used by every unequal-time path (same kernel
+        choice as the equal-time green)."""
         from detqmc_tpu.linalg.udv import green_tau_zero
 
-        left = self._build_left_stack(phi)
-        right_t = self._build_right_stack(phi)
         if self.native:
             # native-complex solve against the dense RHS d1min V1 — the
             # refined MXU path when the equal-time green refines, else
@@ -1963,22 +1960,85 @@ class SDWModel:
             if self._green_refine:
                 from detqmc_tpu.linalg.cudv import cgreen_tau_zero_refine
 
-                return cgreen_tau_zero_refine(
-                    left, right_t,
-                    n_iter=self.cfg.green_refine_iters,
+                return lambda l_, r_: cgreen_tau_zero_refine(
+                    l_, r_, n_iter=self.cfg.green_refine_iters,
                     interpret=self._green_interpret)
             from detqmc_tpu.linalg.cudv import cgreen_tau_zero_df32
 
-            return cgreen_tau_zero_df32(
-                left, right_t, interpret=self._green_interpret)
+            return lambda l_, r_: cgreen_tau_zero_df32(
+                l_, r_, interpret=self._green_interpret)
         if self._green_refine:
             from detqmc_tpu.linalg.udv import green_tau_zero_refine
 
-            return green_tau_zero_refine(
-                left, right_t, n_iter=self.cfg.green_refine_iters,
+            return lambda l_, r_: green_tau_zero_refine(
+                l_, r_, n_iter=self.cfg.green_refine_iters,
                 interpret=self._green_interpret)
-        return green_tau_zero(left, right_t,
-                              compute_dtype=self.stab_dtype_eff)
+        return lambda l_, r_: green_tau_zero(
+            l_, r_, compute_dtype=self.stab_dtype_eff)
+
+    def time_displaced_greens(self, phi) -> jax.Array:
+        """Stable G(tau = k s dtau, 0) for k = 0..K: (K+1, dim, dim)
+        (reference: the SDW model's unequal-time Green support; tau on the
+        stabilization grid, same approach as hubbard.time_displaced_greens
+        — both half-chain stacks built fresh, one batched stable solve)."""
+        left = self._build_left_stack(phi)
+        right_t = self._build_right_stack(phi)
+        return self._td_solver()(left, right_t)
+
+    def _neg_conj_transpose(self, G):
+        """-G^H in whatever representation the chain runs: plane-wise
+        for the native (re, im) pair, a plain transpose in the rho
+        embedding (rho(M^H) = rho(M)^T), jnp.conj for complex arrays."""
+        T = lambda M: jnp.swapaxes(M, -1, -2)  # noqa: E731
+        if self.native and G.ndim >= 3 and G.shape[-3] == 2:
+            re, im = G[..., 0, :, :], G[..., 1, :, :]
+            return jnp.stack([-T(re), T(im)], axis=-3)
+        if jnp.issubdtype(G.dtype, jnp.complexfloating):
+            return -jnp.conj(T(G))
+        return -T(G)
+
+    def time_displaced_greens_rev(self, phi) -> jax.Array:
+        """Stable G(0, tau = k s dtau) at the anchors: with A = B(tau,0)
+        and C = B(beta,tau), G(0,tau) = -(1 + C A)^{-1} C =
+        -[gtz(right_t, left)]^H — the swapped-stack solve, no new
+        kernel (reference: the TimeDisplaced path's backward propagator,
+        SURVEY.md §3 "DQMC core", §9 "Unequal-time")."""
+        left = self._build_left_stack(phi)
+        right_t = self._build_right_stack(phi)
+        return self._neg_conj_transpose(self._td_solver()(right_t, left))
+
+    def time_displaced_greens_rev_all(self, phi):
+        """G(0, tau) at EVERY slice tau = 0..m, plus the max wrap
+        deviation: anchors from the swapped-stack solve, then
+        G(0, tau+1) = G(0, tau) B_{tau+1}^{-1} between anchors (mirror
+        of time_displaced_greens_all)."""
+        cfg = self.cfg
+        K, s_int = cfg.n_stack, cfg.s
+        anchors = self.time_displaced_greens_rev(phi)
+        inv_all = jax.vmap(
+            lambda p: self.exp_v_blocks(p, sign=+1.0))(phi)
+
+        def interval(_, xs):
+            g0, g_next, blk_k = xs
+
+            def wrap(G, j):
+                G = self.b_inv_mult_right(G, blk_k[j])
+                return G, G
+
+            g_last, wrapped = jax.lax.scan(wrap, g0,
+                                           jnp.arange(s_int - 1))
+            g_end, _ = wrap(g_last, s_int - 1)
+            dev = jnp.abs(g_end - g_next).max()
+            out = jnp.concatenate([g0[None], wrapped], axis=0)
+            return None, (out, dev)
+
+        blk = inv_all.reshape((K, s_int) + inv_all.shape[1:])
+        _, (blocks, devs) = jax.lax.scan(
+            interval, None, (anchors[:K], anchors[1:], blk))
+        G_all = jnp.concatenate(
+            [blocks.reshape((K * s_int,) + anchors.shape[1:]),
+             anchors[K][None]], axis=0)
+        return G_all, devs.max()
 
     def time_displaced_greens_all(self, phi):
         """G(tau, 0) at EVERY slice tau = 0..m: (m+1, dim, dim), plus the
