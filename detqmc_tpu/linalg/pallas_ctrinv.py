@@ -67,7 +67,7 @@ def _kernel(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
         szl = n - c0
         ls = pl.ds(c0, szl)
 
-        def step(jj, _, a8=a8, cw=cw, top=top, ls=ls):
+        def step(jj, _, a8=a8, cw=cw, top=top, ls=ls, c0=c0):
             j = jnp.int32(a8 + cw - 1) - jj          # descend in chunk
             onehot = lane_full == j
             Brow_r = BTr_in[:, pl.ds(j, 1), :]       # (T, 1, n)
@@ -79,12 +79,16 @@ def _kernel(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
             ia2 = 1.0 / (a2 + g)
             ivr = ar * ia2                           # 1/alpha
             ivi = -ai * ia2
-            Mjr = Xr_out[:, pl.ds(j, 1), ls]
-            Mji = Xi_out[:, pl.ds(j, 1), ls]
+            # Dynamic-sublane loads/stores must span the FULL lane width
+            # (Mosaic rejects a dynamic row index combined with a lane
+            # offset: "dynamic load with unaligned indices"); restrict to
+            # the chunk by slicing the register value instead.
+            Mjr = Xr_out[:, pl.ds(j, 1), :]
+            Mji = Xi_out[:, pl.ds(j, 1), :]
             xjr = Mjr * ivr - Mji * ivi
             xji = Mjr * ivi + Mji * ivr
-            Xr_out[:, pl.ds(j, 1), ls] = xjr
-            Xi_out[:, pl.ds(j, 1), ls] = xji
+            Xr_out[:, pl.ds(j, 1), :] = xjr
+            Xi_out[:, pl.ds(j, 1), :] = xji
             # R[0:j, j]: B's sublane-j row, lanes < j, into sublanes
             lt = lane_full < j
             Rcr = jnp.swapaxes(
@@ -92,8 +96,11 @@ def _kernel(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
             Rci = jnp.swapaxes(
                 jnp.where(lt, Brow_i, 0.0), -1, -2)[:, :top, :]
             ts = pl.ds(0, top)
-            Xr_out[:, ts, ls] = Xr_out[:, ts, ls] - (Rcr * xjr - Rci * xji)
-            Xi_out[:, ts, ls] = Xi_out[:, ts, ls] - (Rcr * xji + Rci * xjr)
+            # full-width update: xj's lanes < c0 are exact zeros (row j
+            # of the upper-triangular inverse has support on lanes >= j)
+            # and Mosaic rejects broadcasts of offset-lane vectors.
+            Xr_out[:, ts, :] = Xr_out[:, ts, :] - (Rcr * xjr - Rci * xji)
+            Xi_out[:, ts, :] = Xi_out[:, ts, :] - (Rcr * xji + Rci * xjr)
             return ()
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(cw), step, ())
@@ -156,7 +163,7 @@ def _kernel_blocked(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
         ls = pl.ds(c0, szl)
         bs = pl.ds(j0, jb)                       # panel rows of X / M
 
-        def step(kk, _, j0=j0, jb=jb, ls=ls, bs=bs):
+        def step(kk, _, j0=j0, jb=jb, ls=ls, bs=bs, c0=c0):
             j = jnp.int32(j0 + jb - 1) - kk      # descend in panel
             onehot = lane_full == j
             Brow_r = BTr_in[:, pl.ds(j, 1), :]   # (T, 1, n)
@@ -168,12 +175,13 @@ def _kernel_blocked(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
             ia2 = 1.0 / (a2 + g)
             ivr = ar * ia2
             ivi = -ai * ia2
-            Mjr = Xr_out[:, pl.ds(j, 1), ls]
-            Mji = Xi_out[:, pl.ds(j, 1), ls]
+            # full-lane-width dynamic row access (see _kernel)
+            Mjr = Xr_out[:, pl.ds(j, 1), :]
+            Mji = Xi_out[:, pl.ds(j, 1), :]
             xjr = Mjr * ivr - Mji * ivi
             xji = Mjr * ivi + Mji * ivr
-            Xr_out[:, pl.ds(j, 1), ls] = xjr
-            Xi_out[:, pl.ds(j, 1), ls] = xji
+            Xr_out[:, pl.ds(j, 1), :] = xjr
+            Xi_out[:, pl.ds(j, 1), :] = xji
             # within-panel rank-1: rows [j0, j) only
             j0i = jnp.int32(j0)
             in_panel_lt = (lane_full >= j0i) & (lane_full < j)
@@ -181,8 +189,8 @@ def _kernel_blocked(BTr_in, BTi_in, Xr_out, Xi_out, *, n: int):
                                -1, -2)[:, j0:j0 + jb, :]     # (T, jb, 1)
             Rci = jnp.swapaxes(jnp.where(in_panel_lt, Brow_i, 0.0),
                                -1, -2)[:, j0:j0 + jb, :]
-            Xr_out[:, bs, ls] = Xr_out[:, bs, ls] - (Rcr * xjr - Rci * xji)
-            Xi_out[:, bs, ls] = Xi_out[:, bs, ls] - (Rcr * xji + Rci * xjr)
+            Xr_out[:, bs, :] = Xr_out[:, bs, :] - (Rcr * xjr - Rci * xji)
+            Xi_out[:, bs, :] = Xi_out[:, bs, :] - (Rcr * xji + Rci * xjr)
             return ()
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(jb), step, ())

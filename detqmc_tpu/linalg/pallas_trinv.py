@@ -45,21 +45,28 @@ def _kernel(BT_in, X_out, *, n: int):
         szl = n - c0
         ls = pl.ds(c0, szl)
 
-        def step(jj, _, a8=a8, cw=cw, top=top, ls=ls):
+        def step(jj, _, a8=a8, cw=cw, top=top, ls=ls, c0=c0):
             j = jnp.int32(a8 + cw - 1) - jj          # descend in chunk
             onehot = lane_full == j
             Brow = BT_in[:, pl.ds(j, 1), :]          # (T, 1, n)
             a = jnp.sum(jnp.where(onehot, Brow, 0.0), -1, keepdims=True)
             g = (a == 0).astype(f32)                 # guard exact zeros
             inv = 1.0 / (a + g)
-            xj = X_out[:, pl.ds(j, 1), ls] * inv
-            X_out[:, pl.ds(j, 1), ls] = xj
+            # Dynamic-sublane loads/stores must span the FULL lane width
+            # (Mosaic rejects a dynamic row index combined with a lane
+            # offset: "dynamic load with unaligned indices"); restrict to
+            # the chunk by slicing the register value instead.
+            xj = X_out[:, pl.ds(j, 1), :] * inv
+            X_out[:, pl.ds(j, 1), :] = xj
             # R[0:j, j]: B's sublane-j row, lanes < j, into sublanes
             lt = lane_full < j
             Rc = jnp.swapaxes(
                 jnp.where(lt, Brow, 0.0), -1, -2)[:, :top, :]
             ts = pl.ds(0, top)
-            X_out[:, ts, ls] = X_out[:, ts, ls] - Rc * xj
+            # full-width update: xj's lanes < c0 are exact zeros (row j
+            # of the upper-triangular inverse has support on lanes >= j)
+            # and Mosaic rejects broadcasts of offset-lane vectors.
+            X_out[:, ts, :] = X_out[:, ts, :] - Rc * xj
             return ()
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(cw), step, ())
@@ -113,20 +120,21 @@ def _kernel_blocked(BT_in, X_out, *, n: int):
         ls = pl.ds(c0, szl)
         bs = pl.ds(j0, jb)
 
-        def step(kk, _, j0=j0, jb=jb, ls=ls, bs=bs):
+        def step(kk, _, j0=j0, jb=jb, ls=ls, bs=bs, c0=c0):
             j = jnp.int32(j0 + jb - 1) - kk
             onehot = lane_full == j
             Brow = BT_in[:, pl.ds(j, 1), :]
             a = jnp.sum(jnp.where(onehot, Brow, 0.0), -1, keepdims=True)
             g = (a == 0).astype(f32)
             inv = 1.0 / (a + g)
-            xj = X_out[:, pl.ds(j, 1), ls] * inv
-            X_out[:, pl.ds(j, 1), ls] = xj
+            # full-lane-width dynamic row access (see _kernel)
+            xj = X_out[:, pl.ds(j, 1), :] * inv
+            X_out[:, pl.ds(j, 1), :] = xj
             j0i = jnp.int32(j0)
             in_panel_lt = (lane_full >= j0i) & (lane_full < j)
             Rc = jnp.swapaxes(jnp.where(in_panel_lt, Brow, 0.0),
                               -1, -2)[:, j0:j0 + jb, :]
-            X_out[:, bs, ls] = X_out[:, bs, ls] - Rc * xj
+            X_out[:, bs, :] = X_out[:, bs, :] - Rc * xj
             return ()
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(jb), step, ())
