@@ -99,6 +99,7 @@ _DRIVER_KEYS = {
     "currentCorrelators": _to_bool,
     "autoStabilize": _to_bool,
     "greenDevThreshold": float,
+    "profileDir": str,
 }
 
 _DRIVER_FIELD = {
@@ -119,6 +120,7 @@ _DRIVER_FIELD = {
     "currentCorrelators": "current_correlators",
     "autoStabilize": "auto_stabilize",
     "greenDevThreshold": "green_dev_threshold",
+    "profileDir": "profile_dir",
 }
 
 _HUBBARD_KEYS = {

@@ -78,6 +78,11 @@ class DriverConfig:
     # measurement program stays fixed.
     auto_stabilize: bool = False
     green_dev_threshold: float = 1e-3
+    # capture a jax.profiler trace (XLA/TPU op-level timeline, viewable
+    # in TensorBoard/Perfetto) of the FIRST measurement block into this
+    # directory — the op-level complement of the named timing report
+    # (reference: timing.h instrumentation, SURVEY.md §6 "Tracing")
+    profile_dir: Optional[str] = None
 
     @property
     def n_measurements(self) -> int:
@@ -416,9 +421,17 @@ class DetQMC:
             fire = self._global_fire_flags(
                 2 * self.p.measure_interval * self.measurements_done,
                 n_new, 2 * self.p.measure_interval)
+            profile_this = (self.p.profile_dir
+                            and self.measurements_done == 0)
             with timing("measurement block"):
-                self.states, obs = self._meas_block(self.states, fire)
-                jax.block_until_ready(self.states.G)
+                if profile_this:
+                    with jax.profiler.trace(self.p.profile_dir):
+                        self.states, obs = self._meas_block(
+                            self.states, fire)
+                        jax.block_until_ready(self.states.G)
+                else:
+                    self.states, obs = self._meas_block(self.states, fire)
+                    jax.block_until_ready(self.states.G)
             t_block = time.time() - t0
             # device layout: (W, T, ...) -> handler wants (T, W, ...)
             batch = {k: np.swapaxes(np.asarray(v), 0, 1)

@@ -114,6 +114,14 @@ if badg.any():
         jnp.broadcast_to(d[w, 0], d[:, 0].shape),
         jnp.broadcast_to(V[w, 0], V[:, 0].shape)))
     walkers_nonfinite(Gr, "replicated-bad-walker green")
+    # Ozaki discrimination: env is read at trace time, so a fresh lambda
+    # forces a retrace with the emulated-f64 path instead
+    os.environ["DETQMC_TPU_NO_OZAKI"] = "1"
+    Gn = jax.block_until_ready(
+        jax.jit(jax.vmap(lambda a, b, c: stage_green(a, b, c)))(
+            U[:, 0], d[:, 0], V[:, 0]))
+    del os.environ["DETQMC_TPU_NO_OZAKI"]
+    walkers_nonfinite(Gn, "green with NO_OZAKI (emulated f64)")
 elif badd.any():
     say("NaN enters in the stack build — bisect the refactor scan next")
 else:

@@ -180,3 +180,20 @@ def test_sdw_timedisplaced_susceptibilities_driver():
     assert np.isfinite(res["pairingSusceptibilityS"][0])
     assert np.isfinite(res["pairingSusceptibilityD"][0])
     assert 0.0 <= res["timeDisplacedDev"][0] < 1e-8
+
+
+def test_profile_trace_captured(tmp_path):
+    """profileDir captures a jax.profiler trace of the first measurement
+    block (the op-level complement of the timing report, SURVEY.md §6)."""
+    import os
+
+    cfg = HubbardConfig(L=2, U=4.0, beta=1.0, m=8, s=4, dtype="float64")
+    prof = tmp_path / "trace"
+    p = DriverConfig(sweeps=4, thermalization=1, n_walkers=1, seed=5,
+                     block_meas=2, profile_dir=str(prof))
+    qmc = DetQMC(HubbardModel(cfg), p)
+    qmc.run()
+    # the profiler writes plugins/profile/<ts>/*.trace.json.gz (exact
+    # layout is a jax implementation detail; just require content)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, "profiler trace directory is empty"
