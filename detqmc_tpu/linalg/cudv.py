@@ -37,18 +37,18 @@ def _scale_rows_pair(s, A):
 
 def _big_cqr_impl():
     """Column-lane complex QR implementation for n > the lane ceiling:
-    rank-1 (pallas_cqr) by default; DETQMC_TPU_QR=wy selects the blocked
-    compact-WY kernel (MXU trailing updates, pallas_cqr_wy) — opt-in
-    until measured faster on hardware."""
+    the blocked compact-WY kernel (MXU trailing updates, pallas_cqr_wy)
+    by default — measured faster than rank-1 at SDW L=8 with identical
+    green_dev; DETQMC_TPU_QR=panel selects the pure rank-1 kernel."""
     import os
 
-    if os.environ.get("DETQMC_TPU_QR", "") == "wy":
-        from detqmc_tpu.linalg.pallas_cqr_wy import cqr_wy
+    if os.environ.get("DETQMC_TPU_QR", "") == "panel":
+        from detqmc_tpu.linalg.pallas_cqr import cqr_big
 
-        return cqr_wy
-    from detqmc_tpu.linalg.pallas_cqr import cqr_big
+        return cqr_big
+    from detqmc_tpu.linalg.pallas_cqr_wy import cqr_wy
 
-    return cqr_big
+    return cqr_wy
 
 
 def cudv_decompose(A) -> UDV:

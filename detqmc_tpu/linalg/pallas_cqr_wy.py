@@ -140,13 +140,16 @@ def _kernel(BTr_in, BTi_in, Qr_out, Qi_out, Rr_out, Ri_out,
             ltk = (krows < kk).astype(f32)               # (1, b, 1)
             pr_ = pr_ * ltk
             pi_ = pi_ * ltk
-            tcr = jnp.zeros((Tr.shape[0], b, 1), f32)
-            tci = jnp.zeros((Ti.shape[0], b, 1), f32)
+            trs, tis = [], []
             for t in range(Tr.shape[0]):
-                tr_ = _dot(Tr[t], pr_[t], 1, 0) - _dot(Ti[t], pi_[t], 1, 0)
-                ti_ = _dot(Tr[t], pi_[t], 1, 0) + _dot(Ti[t], pr_[t], 1, 0)
-                tcr = tcr.at[t].set(tr_)
-                tci = tci.at[t].set(ti_)
+                trs.append(_dot(Tr[t], pr_[t], 1, 0)
+                           - _dot(Ti[t], pi_[t], 1, 0))
+                tis.append(_dot(Tr[t], pi_[t], 1, 0)
+                           + _dot(Ti[t], pr_[t], 1, 0))
+            # stack (concatenate) instead of .at[].set — scatter does
+            # not lower in Mosaic TC kernels
+            tcr = jnp.stack(trs) if len(trs) > 1 else trs[0][None]
+            tci = jnp.stack(tis) if len(tis) > 1 else tis[0][None]
             tcr = -beta * tcr * ltk + beta * (krows == kk).astype(f32)
             tci = -beta * tci * ltk
             sel = kcols == kk                            # (1, 1, b)

@@ -88,9 +88,10 @@ def _kernel(BT_in, Q_out, R_out, B, P, V, Tm, *, n: int):
             p_ = jnp.sum(Vb * v, -1, keepdims=True)
             ltk = (krows < kk).astype(f32)
             p_ = p_ * ltk
-            tc = jnp.zeros((Tm.shape[0], b, 1), f32)
-            for t in range(Tm.shape[0]):
-                tc = tc.at[t].set(_dot(Tm[t], p_[t], 1, 0))
+            # stack (concatenate) instead of .at[].set — scatter does
+            # not lower in Mosaic TC kernels
+            tcs = [_dot(Tm[t], p_[t], 1, 0) for t in range(Tm.shape[0])]
+            tc = jnp.stack(tcs) if len(tcs) > 1 else tcs[0][None]
             tc = -beta * tc * ltk + beta * (krows == kk).astype(f32)
             sel = kcols == kk
             Tm[...] = jnp.where(sel, tc, Tm[...])

@@ -151,9 +151,12 @@ def _kernel_blocked(BT_in, X_out, *, n: int):
 
 
 def _use_blocked() -> bool:
+    # blocked (MXU panel updates) is the default — measured faster at
+    # SDW L=8 with identical green_dev; DETQMC_TPU_TRINV=col opts back
+    # into the pure column back-substitution kernel.
     import os
 
-    return os.environ.get("DETQMC_TPU_TRINV", "") == "blocked"
+    return os.environ.get("DETQMC_TPU_TRINV", "") != "col"
 
 
 @functools.lru_cache(maxsize=None)

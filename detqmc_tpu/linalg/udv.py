@@ -79,18 +79,19 @@ def udv_decompose(A: jax.Array) -> UDV:
 
 
 def _big_qr_impl():
-    """Column-lane real QR for n above the lane ceiling: rank-1
-    (pallas_qr_big) by default; DETQMC_TPU_QR=wy selects the blocked
-    compact-WY kernel (MXU trailing updates)."""
+    """Column-lane real QR for n above the lane ceiling: the blocked
+    compact-WY kernel (MXU trailing updates) by default — measured
+    faster than the rank-1 kernel at SDW L=8 with identical green_dev;
+    DETQMC_TPU_QR=panel selects the pure rank-1 kernel."""
     import os
 
-    if os.environ.get("DETQMC_TPU_QR", "") == "wy":
-        from detqmc_tpu.linalg.pallas_qr_wy import qr_wy
+    if os.environ.get("DETQMC_TPU_QR", "") == "panel":
+        from detqmc_tpu.linalg.pallas_qr_big import qr_big
 
-        return qr_wy
-    from detqmc_tpu.linalg.pallas_qr_big import qr_big
+        return qr_big
+    from detqmc_tpu.linalg.pallas_qr_wy import qr_wy
 
-    return qr_big
+    return qr_wy
 
 
 def _sign_fix(A, Q, R) -> UDV:

@@ -53,8 +53,8 @@ def main():
     base = dict(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=4,
                 dtype="float32", checkerboard=True)
     model = SDWModel(SDWConfig(**base))
-    print(f"L={L} W={W} m=40 s=4 opdim=3  repr={model.fermion_repr} "
-          f"native={model.native} refine={model._green_refine}")
+    print(f"L={L} W={W} m=40 s=4 opdim=3  repr={model.cfg.fermion_repr} "
+          f"native={model.native}")
     t_full = timed(model, W, "full sweep_pair (measure=True)")
     t_nomeas = timed(model, W, "measure=False")
     # df32 green kernel instead of the refined solve

@@ -418,10 +418,11 @@ def test_cqr_wy_matches_rank1_kernel():
             np.testing.assert_allclose(Qc[k] @ Rc[k], Af32, atol=2e-4)
 
 
-def test_ctrinv_blocked_matches_numpy(monkeypatch):
-    """DETQMC_TPU_TRINV=blocked (complex): panel back-substitution +
-    complex MXU block updates."""
-    monkeypatch.setenv("DETQMC_TPU_TRINV", "blocked")
+def test_ctrinv_col_matches_numpy(monkeypatch):
+    """DETQMC_TPU_TRINV=col (the non-default pure column
+    back-substitution kernel, complex) matches NumPy like the default
+    blocked kernel does."""
+    monkeypatch.setenv("DETQMC_TPU_TRINV", "col")
     import detqmc_tpu.linalg.pallas_ctrinv as m
 
     rng = np.random.default_rng(91)

@@ -216,10 +216,11 @@ def test_green_refine_matches_f64():
     assert np.abs(G_new - G_exact).max() / scale < 2e-6
 
 
-def test_trinv_blocked_matches_numpy(monkeypatch):
-    """DETQMC_TPU_TRINV=blocked: panel back-substitution + MXU block
-    updates computes the same triangular inverse."""
-    monkeypatch.setenv("DETQMC_TPU_TRINV", "blocked")
+def test_trinv_col_matches_numpy(monkeypatch):
+    """DETQMC_TPU_TRINV=col (the non-default pure column
+    back-substitution kernel) computes the same triangular inverse as
+    the default blocked kernel."""
+    monkeypatch.setenv("DETQMC_TPU_TRINV", "col")
     import detqmc_tpu.linalg.pallas_trinv as m
 
     rng = np.random.default_rng(90)
