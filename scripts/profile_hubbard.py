@@ -12,6 +12,10 @@ from __future__ import annotations
 import sys
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import numpy as np
 
