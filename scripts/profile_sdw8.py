@@ -46,7 +46,7 @@ def timed(model, W, label, n_timed=3, measure=True):
     dev = float(np.median(np.asarray(states.green_dev)))
     print(f"{label:34s} {W * n_timed * 2 / dt:8.1f} sweeps/s   "
           f"{dt / n_timed * 1e3:8.1f} ms/pair   green_dev {dev:.2e}   "
-          f"(compile {compile_s:.0f}s)")
+          f"(compile {compile_s:.0f}s)", flush=True)
     return dt / n_timed
 
 
