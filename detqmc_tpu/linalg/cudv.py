@@ -184,11 +184,13 @@ def cinv_refined(inner, n_iter: int = 2, interpret: bool = False):
         Q, Rinv = pair(Qc), pair(Rinv_c)
     Qh = cpx_conjT(Q)
     Z = cpx_mm_last(Rinv, Qh)
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import mm_f64, residual_limbs
 
     eye = cpx_eye(n, f64, inner.shape[:-3])
+    rl = residual_limbs()
+    mm_res = lambda a, b: mm_f64(a, b, limbs=rl)  # noqa: E731
     for _ in range(n_iter):
-        S = eye - cpx_mm_last(inner, Z.astype(f64), mm_fn=mm_f64)
+        S = eye - cpx_mm_last(inner, Z.astype(f64), mm_fn=mm_res)
         S32 = S.astype(f32)
         Z = Z + cpx_mm_last(Rinv, cpx_mm_last(Qh, S32))
     return Z
@@ -305,9 +307,11 @@ def cgreen_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
     rhs = _scale_rows_pair(d1min, left.V.astype(f64))
     Z = cinv_refined(inner, n_iter=n_iter, interpret=interpret)
     X = cpx_mm_last(Z, rhs.astype(f32))
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import mm_f64, residual_limbs
 
-    r = (rhs - cpx_mm_last(inner, X.astype(f64), mm_fn=mm_f64)
+    rl = residual_limbs()
+    mm_res = lambda a, b: mm_f64(a, b, limbs=rl)  # noqa: E731
+    r = (rhs - cpx_mm_last(inner, X.astype(f64), mm_fn=mm_res)
          ).astype(f32)
     X = X + cpx_mm_last(Z, r)
     return cpx_mm_last(_scale_cols_pair(U2, r2max), X)

@@ -121,12 +121,30 @@ def _use_ozaki() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def mm_f64(A: jax.Array, B: jax.Array) -> jax.Array:
+def mm_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
+           ) -> jax.Array:
     """f64 matmul on the fastest valid path: Ozaki bf16-limb MXU products
     on TPU, a plain HIGHEST-precision dot elsewhere (or when
-    DETQMC_TPU_NO_OZAKI is set)."""
+    DETQMC_TPU_NO_OZAKI is set). `limbs` caps the limb count (accuracy
+    ~2^{-8*limbs} relative to row/col norms at s=8) for consumers that
+    need less than the full ~2^-48 — e.g. Newton-refinement residuals."""
     if A.dtype == jnp.float64 and B.dtype == jnp.float64 and _use_ozaki():
-        return matmul_f64(A, B)
+        return matmul_f64(A, B, limbs=limbs)
     from detqmc_tpu.precision import mm
 
     return mm(A, B)
+
+
+def residual_limbs() -> int:
+    """Limb count for iterative-refinement residual products (I - A Z).
+
+    The residual only needs enough accuracy to not pollute the refined
+    solve's f32-storage floor (~1e-7): measured on the graded inner
+    class (cond 4e3-2e7, n 64-512), 5 limbs (15 bf16 matmuls) lands
+    IDENTICAL converged error to the full 6 (21 matmuls) at realistic
+    conditioning (the stabilized range-split inner measures cond ~2e4),
+    while 4 limbs degrades the floor ~8x and stalls convergence beyond
+    cond ~1e7. Env override DETQMC_TPU_RESIDUAL_LIMBS for A/B."""
+    import os
+
+    return int(os.environ.get("DETQMC_TPU_RESIDUAL_LIMBS", "5"))

@@ -300,12 +300,13 @@ def inv_refined(inner, n_iter: int = 2, interpret: bool = False):
             R, eye32, left_side=True, lower=False)
     Qt = jnp.swapaxes(Q, -1, -2)
     Z = mm(Rinv, Qt)
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import mm_f64, residual_limbs
 
     eye = jnp.broadcast_to(jnp.eye(n, dtype=f64),
                            (*inner.shape[:-2], n, n))
+    rl = residual_limbs()
     for _ in range(n_iter):
-        S = (eye - mm_f64(inner, Z.astype(f64))).astype(f32)
+        S = (eye - mm_f64(inner, Z.astype(f64), limbs=rl)).astype(f32)
         Z = Z + mm(Rinv, mm(Qt, S))
     return Z
 
@@ -412,9 +413,10 @@ def green_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
     rhs = scale_rows(d1min, left.V.astype(f64))
     Z = inv_refined(inner, n_iter=n_iter, interpret=interpret)
     X = mm(Z, rhs.astype(f32))
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import mm_f64, residual_limbs
 
-    r = (rhs - mm_f64(inner, X.astype(f64))).astype(f32)
+    r = (rhs - mm_f64(inner, X.astype(f64),
+                      limbs=residual_limbs())).astype(f32)
     X = X + mm(Z, r)
     return mm(scale_cols(U2, r2max), X)
 
