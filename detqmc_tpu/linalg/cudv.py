@@ -108,10 +108,12 @@ def cudv_refactor(M, d, V, compose_dtype=None) -> UDV:
                       jnp.exp(logd[..., None, :] - logd[..., :, None]),
                       0.0)
     Vb = g.V.astype(rdt) * ratio[..., None, :, :].astype(rdt)
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
 
+    cl = chain_limbs()
+    mm_chain = lambda a, b: mm_f64(a, b, limbs=cl)  # noqa: E731
     return UDV(U=g.U, d=d_new,
-               V=cpx_mm_last(Vb, V.astype(rdt), mm_fn=mm_f64))
+               V=cpx_mm_last(Vb, V.astype(rdt), mm_fn=mm_chain))
 
 
 def _green_inner(left: UDV, right_t: UDV):
@@ -126,10 +128,12 @@ def _green_inner(left: UDV, right_t: UDV):
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
     d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
     UhU = cpx_mm_last(cpx_conjT(U1), U2).astype(f64)
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
 
+    cl = chain_limbs()
+    mm_chain = lambda a, b: mm_f64(a, b, limbs=cl)  # noqa: E731
     VVh = cpx_mm_last(left.V.astype(f64),
-                      cpx_conjT(right_t.V.astype(f64)), mm_fn=mm_f64)
+                      cpx_conjT(right_t.V.astype(f64)), mm_fn=mm_chain)
     inner = (_scale_cols_pair(_scale_rows_pair(1.0 / d1max, UhU),
                               1.0 / d2max)
              + _scale_cols_pair(_scale_rows_pair(d1min, VVh), d2min))

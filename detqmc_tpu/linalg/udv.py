@@ -146,10 +146,12 @@ def udv_refactor(M: jax.Array, d: jax.Array, V: jax.Array,
     # the V-chain accumulation is the sweep's hottest f64 product on TPU
     # (40 calls/pair at the headline config); mm_f64 routes it through
     # exact bf16-limb MXU matmuls (linalg/ozaki) instead of XLA's
-    # double-word emulation, with the same ~2^-48 accuracy
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    # double-word emulation, at the capped chain tier (see
+    # ozaki.chain_limbs for the accuracy argument)
+    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
 
-    return UDV(U=g.U, d=d_new, V=mm_f64(Vb, V.astype(cdt)))
+    return UDV(U=g.U, d=d_new,
+               V=mm_f64(Vb, V.astype(cdt), limbs=chain_limbs()))
 
 
 def udv_multiply_left(B: jax.Array, f: UDV) -> UDV:
@@ -258,10 +260,11 @@ def _green_inner_real(left: UDV, right_t: UDV):
     d2 = right_t.d.astype(f64)
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
     d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
-    from detqmc_tpu.linalg.ozaki import mm_f64
+    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
 
     UhU = mm(_H(U1), U2).astype(f64)
-    VVh = mm_f64(left.V.astype(f64), _H(right_t.V.astype(f64)))
+    VVh = mm_f64(left.V.astype(f64), _H(right_t.V.astype(f64)),
+                 limbs=chain_limbs())
     inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
              + scale_cols(scale_rows(d1min, VVh), d2min))
     r1max = (1.0 / d1max).astype(f32)

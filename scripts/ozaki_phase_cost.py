@@ -26,8 +26,17 @@ compile_cache.enable()
 from detqmc_tpu.linalg import df32  # noqa: E402
 from detqmc_tpu.linalg.ozaki import _pow2_above, matmul_f64  # noqa: E402
 
-n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-W = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+# tolerate a non-numeric argv[1] (tpu_measure drivers pass their own
+# section name through)
+def _int_arg(i, default):
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+n = _int_arg(1, 256)
+W = _int_arg(2, 128)
 
 
 def bench(fn, label, *args, n_timed=20):

@@ -109,6 +109,113 @@ def test_refine_residual_limbs_float_of_inv():
     assert floor(5) < 1.5 * floor(6) + 1e-9
 
 
+def test_chain_limbs_green_floor():
+    """The capped chain tier (ozaki.chain_limbs, V-chain accumulation +
+    VVh inner product) must not move the green floor: with the Ozaki
+    path forced on, a graded ill-conditioned chain's refined G at the
+    default cap matches the f64 direct inverse as well as the full
+    6-limb product does."""
+    import os
+    from unittest import mock
+
+    from detqmc_tpu.linalg.udv import (green_refine, udv_eye,
+                                       udv_multiply_left)
+
+    rng = np.random.default_rng(11)
+    n, m, l_split = 16, 12, 6
+    Bs = [np.linalg.qr(rng.standard_normal((n, n)))[0]
+          @ np.diag(np.exp(np.linspace(-2.5, 2.5, n)))
+          for _ in range(m)]
+
+    def build(limbs):
+        env = {"DETQMC_TPU_CHAIN_LIMBS": str(limbs)}
+        with mock.patch.dict(os.environ, env):
+            with mock.patch("detqmc_tpu.linalg.ozaki._use_ozaki",
+                            return_value=True):
+                left = udv_eye(n, jnp.float64)
+                for B in Bs[:l_split]:
+                    left = udv_multiply_left(jnp.asarray(B), left)
+                right_t = udv_eye(n, jnp.float64)
+                for B in reversed(Bs[l_split:]):
+                    right_t = udv_multiply_left(jnp.asarray(B).T, right_t)
+                return np.asarray(
+                    green_refine(left, right_t, n_iter=1), np.float64)
+
+    Lp = np.eye(n)
+    for B in Bs[:l_split]:
+        Lp = B @ Lp
+    Rp = np.eye(n)
+    for B in Bs[l_split:]:
+        Rp = B @ Rp
+    G_direct = np.linalg.inv(np.eye(n) + Lp @ Rp)
+    scale = np.abs(G_direct).max()
+
+    err = {limbs: np.abs(build(limbs) - G_direct).max() / scale
+           for limbs in (4, 6)}
+    assert err[4] < 1e-5                      # the refined-f32 G floor
+    assert err[4] < 2.0 * err[6] + 1e-9       # cap doesn't move the floor
+
+
+def test_chain_limbs_complex_green_floor():
+    """Complex-pair mirror of the chain-limb floor check: the SDW native
+    chain accumulates its V factors and VVh through cudv, so the capped
+    tier must hold for cgreen_refine too."""
+    import os
+    from unittest import mock
+
+    from detqmc_tpu.linalg import cudv
+
+    rng = np.random.default_rng(7)
+    n, m, l_split = 12, 12, 6
+
+    def runi(n):
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        return np.linalg.qr(A)[0]
+
+    Bs = [runi(n) @ np.diag(np.exp(np.linspace(-1.5, 1.5, n)))
+          for _ in range(m)]
+
+    def pair(M):
+        return jnp.stack([jnp.asarray(M.real), jnp.asarray(M.imag)],
+                         axis=0).astype(jnp.float64)
+
+    def build(limbs):
+        env = {"DETQMC_TPU_CHAIN_LIMBS": str(limbs)}
+        with mock.patch.dict(os.environ, env):
+            with mock.patch("detqmc_tpu.linalg.ozaki._use_ozaki",
+                            return_value=True):
+                left = cudv.cudv_decompose(
+                    pair(np.eye(n, dtype=complex)))
+                for B in Bs[:l_split]:
+                    left = cudv.cudv_refactor(
+                        cudv.cpx_mm_last(pair(B), left.U),
+                        left.d, left.V)
+                right_t = cudv.cudv_decompose(
+                    pair(np.eye(n, dtype=complex)))
+                for B in reversed(Bs[l_split:]):
+                    right_t = cudv.cudv_refactor(
+                        cudv.cpx_mm_last(pair(B.conj().T), right_t.U),
+                        right_t.d, right_t.V)
+                P = np.asarray(
+                    cudv.cgreen_refine(left, right_t, n_iter=1),
+                    np.float64)
+        return P[0] + 1j * P[1]
+
+    Lp = np.eye(n, dtype=complex)
+    for B in Bs[:l_split]:
+        Lp = B @ Lp
+    Rp = np.eye(n, dtype=complex)
+    for B in Bs[l_split:]:
+        Rp = B @ Rp
+    G_direct = np.linalg.inv(np.eye(n) + Lp @ Rp)
+    scale = np.abs(G_direct).max()
+
+    err = {limbs: np.abs(build(limbs) - G_direct).max() / scale
+           for limbs in (4, 6)}
+    assert err[4] < 1e-5
+    assert err[4] < 2.0 * err[6] + 1e-9
+
+
 def test_matmul_f64_zero_rows():
     A = np.zeros((8, 8))
     A[0, 0] = 1.0
