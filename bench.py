@@ -29,7 +29,10 @@ from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
 
 # single-core C++ baseline (native/baseline/dqmc_baseline.cpp) measured on
 # this machine; see BASELINE.md "Measured baseline denominator".
-BASELINE_SWEEPS_PER_SEC = 25.5
+# (Re-measured 2026-08-19 on an idle machine — the earlier 25.5 was
+# depressed by background load; the honest denominator is the best the
+# baseline achieves.)
+BASELINE_SWEEPS_PER_SEC = 27.2
 
 L, BETA, M, S = 8, 8.0, 80, 4
 N_WALKERS = 256
@@ -45,7 +48,9 @@ N_TIMED_PAIRS = 5
 # both on the native-complex chain (complex QR + complex df32 green
 # kernels, rolled/chunked fused update kernel, L=8 adds checkerboard).
 SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
-SDW_BASELINE_SWEEPS_PER_SEC = {4: 52.6, 8: 1.58}
+# idle-machine re-measurement 2026-08-19 (earlier 52.6 / 1.58 were
+# load-depressed)
+SDW_BASELINE_SWEEPS_PER_SEC = {4: 67.6, 8: 2.20}
 # W=128 fills the 128-lane kernels (W=64 padded them to half occupancy;
 # the fused update kernel's cost is W-independent up to 128 lanes).
 # Memory: ~17 MB/walker * 128 ~ 2.2 GB << 16 GB HBM.
