@@ -128,7 +128,7 @@ _HUBBARD_KEYS = {
     "beta": float, "m": int, "dtau": float, "s": int,
     "checkerboard": _to_bool, "updateMethod": str, "delay": int,
     "dtype": str, "updateKernel": str, "greenKernel": str,
-    "greenRefineIters": int, "cbApply": str,
+    "greenRefineIters": int, "ozakiChainLimbs": int, "cbApply": str,
 }
 
 _SDW_KEYS = {
@@ -144,7 +144,7 @@ _SDW_KEYS = {
     "boxLength": float, "accRatio": float,
     "spinProposalMethod": str,
     "fermionRepr": str, "updateKernel": str, "greenKernel": str,
-    "greenRefineIters": int, "cbApply": str,
+    "greenRefineIters": int, "ozakiChainLimbs": int, "cbApply": str,
 }
 
 _PT_KEYS = {
@@ -246,6 +246,7 @@ def build_hubbard_config(model_params: Dict[str, str]):
     for conf_key, field in (("updateKernel", "update_kernel"),
                             ("greenKernel", "green_kernel"),
                             ("greenRefineIters", "green_refine_iters"),
+                            ("ozakiChainLimbs", "ozaki_chain_limbs"),
                             ("cbApply", "cb_apply")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
@@ -284,6 +285,7 @@ def build_sdw_config(model_params: Dict[str, str]):
                             ("updateKernel", "update_kernel"),
                             ("greenKernel", "green_kernel"),
                             ("greenRefineIters", "green_refine_iters"),
+                            ("ozakiChainLimbs", "ozaki_chain_limbs"),
                             ("cbApply", "cb_apply")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)

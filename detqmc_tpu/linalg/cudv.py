@@ -90,7 +90,7 @@ def cudv_decompose(A) -> UDV:
     return UDV(U=U, d=d, V=V)
 
 
-def cudv_refactor(M, d, V, compose_dtype=None) -> UDV:
+def cudv_refactor(M, d, V, compose_dtype=None, chain_limbs=None) -> UDV:
     """UdV of (M diag(d) V) for pair matrices — the complex twin of
     udv.udv_refactor (same log-domain d/V composition; QR of the
     unscaled well-conditioned M; complex f64 V-compose through 4 Ozaki
@@ -108,15 +108,15 @@ def cudv_refactor(M, d, V, compose_dtype=None) -> UDV:
                       jnp.exp(logd[..., None, :] - logd[..., :, None]),
                       0.0)
     Vb = g.V.astype(rdt) * ratio[..., None, :, :].astype(rdt)
-    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
+    from detqmc_tpu.linalg import ozaki
 
-    cl = chain_limbs()
-    mm_chain = lambda a, b: mm_f64(a, b, limbs=cl)  # noqa: E731
+    cl = ozaki.chain_limbs(chain_limbs)
+    mm_chain = lambda a, b: ozaki.mm_f64(a, b, limbs=cl)  # noqa: E731
     return UDV(U=g.U, d=d_new,
                V=cpx_mm_last(Vb, V.astype(rdt), mm_fn=mm_chain))
 
 
-def _green_inner(left: UDV, right_t: UDV):
+def _green_inner(left: UDV, right_t: UDV, chain_limbs=None):
     """The range-split inner stabilization matrix shared by every green
     variant: inner = d1max^{-1} U1^H U2 d2max^{-1} + d1min V1 V2^H d2min
     as an f64 pair, plus the f32 outer scales 1/d1max, 1/d2max."""
@@ -128,10 +128,10 @@ def _green_inner(left: UDV, right_t: UDV):
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
     d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
     UhU = cpx_mm_last(cpx_conjT(U1), U2).astype(f64)
-    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
+    from detqmc_tpu.linalg import ozaki
 
-    cl = chain_limbs()
-    mm_chain = lambda a, b: mm_f64(a, b, limbs=cl)  # noqa: E731
+    cl = ozaki.chain_limbs(chain_limbs)
+    mm_chain = lambda a, b: ozaki.mm_f64(a, b, limbs=cl)  # noqa: E731
     VVh = cpx_mm_last(left.V.astype(f64),
                       cpx_conjT(right_t.V.astype(f64)), mm_fn=mm_chain)
     inner = (_scale_cols_pair(_scale_rows_pair(1.0 / d1max, UhU),
@@ -201,13 +201,14 @@ def cinv_refined(inner, n_iter: int = 2, interpret: bool = False):
 
 
 def cgreen_refine(left: UDV, right_t: UDV, n_iter: int = 2,
-                  interpret: bool = False):
+                  interpret: bool = False, chain_limbs=None):
     """Stable G = (1 + A)^{-1} via the refined f32-factor inner inverse
     (cinv_refined) — the fast TPU path for large complex dims. Identical
     assembly to cgreen_from_two_udv_df32; only the inner solve differs
     (Z = inner^{-1} refined on the MXU, then exact column scaling by
     diag(1/d1max))."""
-    inner, r1max, r2max, U1, U2, _ = _green_inner(left, right_t)
+    inner, r1max, r2max, U1, U2, _ = _green_inner(
+        left, right_t, chain_limbs=chain_limbs)
     Z = cinv_refined(inner, n_iter=n_iter, interpret=interpret)
     mid = _scale_cols_pair(Z, r1max)
     return cpx_mm_last(_scale_cols_pair(U2, r2max),
@@ -215,12 +216,13 @@ def cgreen_refine(left: UDV, right_t: UDV, n_iter: int = 2,
 
 
 def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
-                             interpret: bool = False):
+                             interpret: bool = False, chain_limbs=None):
     """Stable G = (1 + A)^{-1} from factored complex halves, as a pair
     matrix (2, n, n) f32 — the native-complex twin of
     udv.green_from_two_udv_df32 (same hybrid assembly and range split).
     """
-    inner, r1max, r2max, U1, U2, _ = _green_inner(left, right_t)
+    inner, r1max, r2max, U1, U2, _ = _green_inner(
+        left, right_t, chain_limbs=chain_limbs)
     n = inner.shape[-1]
     from detqmc_tpu.linalg.pallas_cgreen_lanes import (MAX_N,
                                                       solve_inner_complex)
@@ -252,7 +254,7 @@ def cgreen_from_two_udv_df32(left: UDV, right_t: UDV,
 
 
 def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
-                         interpret: bool = False):
+                         interpret: bool = False, chain_limbs=None):
     """Stable time-displaced G(tau, 0) = B(tau,0) [1 + B(beta,0)]^{-1}
     for the complex pair chain — the native twin of udv.green_tau_zero:
 
@@ -267,7 +269,7 @@ def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
     core", §9 "Unequal-time".)"""
     f64, f32 = jnp.float64, jnp.float32
     inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
-        _green_inner(left, right_t)
+        _green_inner(left, right_t, chain_limbs=chain_limbs)
     rhs = _scale_rows_pair(d1min, left.V.astype(f64))
     n = inner.shape[-1]
     if n % 8 == 0:
@@ -300,14 +302,14 @@ def cgreen_tau_zero_df32(left: UDV, right_t: UDV,
 
 
 def cgreen_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
-                           interpret: bool = False):
+                           interpret: bool = False, chain_limbs=None):
     """Time-displaced G(tau, 0) for the complex pair chain on the
     refinement path — the native twin of udv.green_tau_zero_refine:
     X = Z (d1min V1) for the refined inner inverse Z (cinv_refined) plus
     one Newton correction on the X system, all MXU matmuls."""
     f64, f32 = jnp.float64, jnp.float32
     inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
-        _green_inner(left, right_t)
+        _green_inner(left, right_t, chain_limbs=chain_limbs)
     rhs = _scale_rows_pair(d1min, left.V.astype(f64))
     Z = cinv_refined(inner, n_iter=n_iter, interpret=interpret)
     X = cpx_mm_last(Z, rhs.astype(f32))

@@ -135,26 +135,38 @@ def mm_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
     return mm(A, B)
 
 
-def chain_limbs() -> int:
+def chain_limbs(requested: int | None = None) -> int:
     """Limb count for the structural f64 chain products: the UdV V-chain
     accumulation (udv.udv_refactor / cudv counterpart) and the V1 V2^H
     cross product of the range-split green inner matrix.
 
     These need "beyond-f32" accuracy (f32 measured 5x worse G — see
-    _green_inner_real) but nowhere near the full ~2^-48: the inner
-    matrix's own floor is its plain-f32 U1^H U2 product (~n*eps_f32
-    ~ 1e-5 relative), and the V-chain's capped-product errors only
-    accumulate linearly (K ~ 10-80 products -> K * 2^-32 ~ 2e-8 at
-    4 limbs). Measured on 40-product graded chains (real cond ~1e10,
-    complex cond ~4e12, /tmp experiments recorded in BASELINE.md):
-    4 limbs sits AT the refined-G floor of the full 6 (4.3e-7 real /
-    1.24e-5 vs 1.23e-5 complex) while 3 limbs degrades it 2.5-100x;
-    on the chip, 4 limbs took SDW L=8 from 85.0 to 91.4 sweeps/s with
-    green_dev unchanged. 4 limbs = 10 bf16 matmuls vs the full 21.
-    Env override DETQMC_TPU_CHAIN_LIMBS for A/B."""
+    _green_inner_real) but usually nowhere near the full ~2^-48: the
+    V-chain's capped-product errors accumulate linearly (K ~ 10-80
+    products -> K * 2^-32 ~ 2e-8 at 4 limbs) and the VVh error enters
+    the green solve amplified by the range-split inner matrix's
+    conditioning. That conditioning is model-dependent, so the tier is
+    a per-caller choice (`requested`; models thread their config's
+    value):
+
+    - SDW native chain (inner cond ~2e4): 4 limbs sits AT the refined-G
+      floor of the full 6 on 40-product graded chains (4.3e-7 real /
+      1.24e-5 vs 1.23e-5 complex, cond up to ~4e12 — BASELINE.md) while
+      3 limbs degrades it 2.5-100x; on the chip 4 limbs took SDW L=8
+      from 85.0 to 91.4 sweeps/s with green_dev unchanged.
+    - Hubbard beta=8 (inner cond ~9e5, df32 kernel solve): 4 limbs
+      measured green_dev med 1.7e-2 (gate 6e-3) — the 2^-32 VVh error
+      times cond exceeds the wrapped-drift budget; 5 limbs holds
+      (med 1.55e-3) and is still faster than 6 (1929 vs 1874 sweeps/s).
+
+    4 limbs = 10 bf16 matmuls, 5 = 15, 6 (full) = 21. Env override
+    DETQMC_TPU_CHAIN_LIMBS beats everything (A/B hook)."""
     import os
 
-    return int(os.environ.get("DETQMC_TPU_CHAIN_LIMBS", "4"))
+    v = os.environ.get("DETQMC_TPU_CHAIN_LIMBS")
+    if v:
+        return int(v)
+    return 4 if requested is None else requested
 
 
 def residual_limbs() -> int:

@@ -108,7 +108,7 @@ def _sign_fix(A, Q, R) -> UDV:
 
 
 def udv_refactor(M: jax.Array, d: jax.Array, V: jax.Array,
-                 compose_dtype=None) -> UDV:
+                 compose_dtype=None, chain_limbs=None) -> UDV:
     """UdV of (M @ diag(d) @ V) for well-conditioned M and positive d.
 
     Key trick: QR commutes with positive column scaling —
@@ -148,20 +148,21 @@ def udv_refactor(M: jax.Array, d: jax.Array, V: jax.Array,
     # exact bf16-limb MXU matmuls (linalg/ozaki) instead of XLA's
     # double-word emulation, at the capped chain tier (see
     # ozaki.chain_limbs for the accuracy argument)
-    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
+    from detqmc_tpu.linalg import ozaki
 
     return UDV(U=g.U, d=d_new,
-               V=mm_f64(Vb, V.astype(cdt), limbs=chain_limbs()))
+               V=ozaki.mm_f64(Vb, V.astype(cdt),
+                              limbs=ozaki.chain_limbs(chain_limbs)))
 
 
-def udv_multiply_left(B: jax.Array, f: UDV) -> UDV:
+def udv_multiply_left(B: jax.Array, f: UDV, chain_limbs=None) -> UDV:
     """UdV of (B @ U d V): refactor (B U) d, accumulate V.
 
     Stack-advance step: extend a factored partial product by a freshly
     computed block of B matrices on the left (time grows leftward in
     B_m ... B_1). For the transposed right stack, pass B^H of the new block.
     """
-    return udv_refactor(mm(B, f.U), f.d, f.V)
+    return udv_refactor(mm(B, f.U), f.d, f.V, chain_limbs=chain_limbs)
 
 
 def udv_eye(n: int, dtype, batch_shape=()) -> UDV:
@@ -220,7 +221,8 @@ def green_from_two_udv(left: UDV, right_t: UDV,
 
 
 def green_from_two_udv_df32(left: UDV, right_t: UDV,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            chain_limbs=None) -> jax.Array:
     """Same math as green_from_two_udv, but the ill-conditioned inner
     factorization runs in the df32 Pallas kernel (pallas_green.py) instead
     of XLA's f64-emulated QR (~90 ms latency per call on TPU).
@@ -233,13 +235,14 @@ def green_from_two_udv_df32(left: UDV, right_t: UDV,
     from detqmc_tpu.linalg import df32 as _df
     from detqmc_tpu.linalg.pallas_green import solve_inner
 
-    inner, r1max, r2max, U1, U2, _ = _green_inner_real(left, right_t)
+    inner, r1max, r2max, U1, U2, _ = _green_inner_real(
+        left, right_t, chain_limbs=chain_limbs)
     hi, lo = _df.from_f64(inner)
     mid = solve_inner(hi, lo, r1max, interpret=interpret)
     return mm(scale_cols(U2, r2max), mm(mid, _H(U1)))
 
 
-def _green_inner_real(left: UDV, right_t: UDV):
+def _green_inner_real(left: UDV, right_t: UDV, chain_limbs=None):
     """The range-split inner stabilization matrix (f64) + f32 outer
     scales, shared by the green variants.
 
@@ -260,11 +263,11 @@ def _green_inner_real(left: UDV, right_t: UDV):
     d2 = right_t.d.astype(f64)
     d1max, d1min = jnp.maximum(d1, 1.0), jnp.minimum(d1, 1.0)
     d2max, d2min = jnp.maximum(d2, 1.0), jnp.minimum(d2, 1.0)
-    from detqmc_tpu.linalg.ozaki import chain_limbs, mm_f64
+    from detqmc_tpu.linalg import ozaki
 
     UhU = mm(_H(U1), U2).astype(f64)
-    VVh = mm_f64(left.V.astype(f64), _H(right_t.V.astype(f64)),
-                 limbs=chain_limbs())
+    VVh = ozaki.mm_f64(left.V.astype(f64), _H(right_t.V.astype(f64)),
+                       limbs=ozaki.chain_limbs(chain_limbs))
     inner = (scale_cols(scale_rows(1.0 / d1max, UhU), 1.0 / d2max)
              + scale_cols(scale_rows(d1min, VVh), d2min))
     r1max = (1.0 / d1max).astype(f32)
@@ -315,12 +318,13 @@ def inv_refined(inner, n_iter: int = 2, interpret: bool = False):
 
 
 def green_refine(left: UDV, right_t: UDV, n_iter: int = 2,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, chain_limbs=None) -> jax.Array:
     """Stable G via the refined f32-factor inner inverse (inv_refined) —
     identical assembly to green_from_two_udv_df32, with the inner solve
     replaced by Z = inner^{-1} on the refinement path and an exact
     column scaling by diag(1/d1max)."""
-    inner, r1max, r2max, U1, U2, _ = _green_inner_real(left, right_t)
+    inner, r1max, r2max, U1, U2, _ = _green_inner_real(
+        left, right_t, chain_limbs=chain_limbs)
     Z = inv_refined(inner, n_iter=n_iter, interpret=interpret)
     mid = scale_cols(Z, r1max)
     return mm(scale_cols(U2, r2max), mm(mid, _H(U1)))
@@ -379,7 +383,8 @@ def green_tau_zero(left: UDV, right_t: UDV, compute_dtype=None
 
 
 def green_tau_zero_df32(left: UDV, right_t: UDV,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        chain_limbs=None) -> jax.Array:
     """Stable G(tau, 0) with the inner solve in the df32 lane kernel:
     the same factorization as green_tau_zero, but the dense-RHS solve
     inner^{-1} (d1min V1) runs in pallas_green_lanes' general-RHS
@@ -393,7 +398,7 @@ def green_tau_zero_df32(left: UDV, right_t: UDV,
 
     f64 = jnp.float64
     inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
-        _green_inner_real(left, right_t)
+        _green_inner_real(left, right_t, chain_limbs=chain_limbs)
     rhs = scale_rows(d1min, left.V.astype(f64))
     hi, lo = _df.from_f64(inner)
     rh, rl = _df.from_f64(rhs)
@@ -402,7 +407,8 @@ def green_tau_zero_df32(left: UDV, right_t: UDV,
 
 
 def green_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          chain_limbs=None) -> jax.Array:
     """Time-displaced G(tau, 0) on the refinement path: the same
     factorization as green_tau_zero / green_tau_zero_df32, with the
     dense-RHS solve inner^{-1} (d1min V1) done as X = Z rhs for the
@@ -412,7 +418,7 @@ def green_tau_zero_refine(left: UDV, right_t: UDV, n_iter: int = 2,
     f32 rounding of the f64 rhs."""
     f64, f32 = jnp.float64, jnp.float32
     inner, _, r2max, U1, U2, (d1max, d1min, d2max, d2min) = \
-        _green_inner_real(left, right_t)
+        _green_inner_real(left, right_t, chain_limbs=chain_limbs)
     rhs = scale_rows(d1min, left.V.astype(f64))
     Z = inv_refined(inner, n_iter=n_iter, interpret=interpret)
     X = mm(Z, rhs.astype(f32))

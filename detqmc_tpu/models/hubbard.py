@@ -94,6 +94,13 @@ class HubbardConfig:
     # refinement steps for green_kernel="refine" (one step reaches the
     # accuracy floor on the graded oracle chain; see SDWConfig)
     green_refine_iters: int = 1
+    # Ozaki limb tier for the structural chain products (V-chain
+    # accumulation + green-inner VVh, ozaki.chain_limbs). Hubbard's
+    # range-split inner conditioning at beta=8 (~9e5) amplifies the
+    # VVh error: 4 limbs measured green_dev med 1.7e-2 (gate 6e-3),
+    # 5 holds at 1.55e-3 — so the model default is the conservative
+    # tier (SDW, whose inner measures ~2e4, runs 4).
+    ozaki_chain_limbs: int = 5
     dtype: str = "float32"
     # precision island for the stabilized G recompute; "auto" = float64
     # when dtype is float32 (the inner matrix's condition ~ e^{beta W}
@@ -323,12 +330,14 @@ class HubbardModel:
 
             return green_refine(left, right_t,
                                 n_iter=self.cfg.green_refine_iters,
-                                interpret=self._green_interpret)
+                                interpret=self._green_interpret,
+                                chain_limbs=self.cfg.ozaki_chain_limbs)
         if self._green_pallas:
             from detqmc_tpu.linalg.udv import green_from_two_udv_df32
 
             return green_from_two_udv_df32(
-                left, right_t, interpret=self._green_interpret)
+                left, right_t, interpret=self._green_interpret,
+                chain_limbs=self.cfg.ozaki_chain_limbs)
         return green_from_two_udv(
             left, right_t, compute_dtype=self.cfg.stab_jdtype
         ).astype(self.cfg.jdtype)
@@ -579,7 +588,8 @@ class HubbardModel:
             # lazy_U absorbed B's in run dtype (cond per interval is small);
             # the QR + composition + stored stack live in the precision
             # island so full-chain scales keep their relative accuracy.
-            f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt)
+            f_new = udv_refactor(lazy_U, d_c, V_c, compose_dtype=sdt,
+                                 chain_limbs=self.cfg.ozaki_chain_limbs)
             other = UDV(*stack_entry)
             if up:
                 G_stab = self._green(f_new, other)
@@ -674,12 +684,14 @@ class HubbardModel:
         for j in range(1, l + 1):
             M = bchain.b_mult_left(self.prop, self.exp_v(field[j - 1]),
                                    left.U, checkerboard=cb)
-            left = udv_refactor(M, left.d, left.V, compose_dtype=sdt)
+            left = udv_refactor(M, left.d, left.V, compose_dtype=sdt,
+                                chain_limbs=cfg.ozaki_chain_limbs)
         right = self._eye_mixed()
         for j in range(cfg.m, l, -1):
             M = bchain.bT_mult_left(self.prop, self.exp_v(field[j - 1]),
                                     right.U, checkerboard=cb)
-            right = udv_refactor(M, right.d, right.V, compose_dtype=sdt)
+            right = udv_refactor(M, right.d, right.V, compose_dtype=sdt,
+                                 chain_limbs=cfg.ozaki_chain_limbs)
         return self._green(left, right)
 
     def sweep_simple(self, state: WalkerState, measure: bool = False):
@@ -728,6 +740,7 @@ class HubbardModel:
         K, s_int = cfg.n_stack, cfg.s
         dt, sdt = cfg.jdtype, cfg.stab_jdtype
         cb = self.cb_sparse
+        cl_limbs = cfg.ozaki_chain_limbs
         eye_f = self._eye_mixed()
 
         def build(transposed):
@@ -747,7 +760,8 @@ class HubbardModel:
                 lazy_U, _ = jax.lax.scan(absorb, f_carry.U.astype(dt),
                                          jnp.arange(s_int))
                 f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
-                                     compose_dtype=sdt)
+                                     compose_dtype=sdt,
+                                     chain_limbs=cl_limbs)
                 return f_new, f_new
 
             ks = jnp.arange(K, 0, -1) if transposed else jnp.arange(1, K + 1)
@@ -782,12 +796,14 @@ class HubbardModel:
             # one Newton correction (matches the equal-time green path)
             gtz = lambda l_, r_: green_tau_zero_refine(  # noqa: E731
                 l_, r_, n_iter=self.cfg.green_refine_iters,
-                interpret=self._green_interpret)
+                interpret=self._green_interpret,
+                chain_limbs=self.cfg.ozaki_chain_limbs)
         elif self._green_pallas and N % 8 == 0 and N <= MAX_N:
             # df32 lane kernel with the dense RHS d1min V1: no
             # emulated-f64 QR in the unequal-time measurement
             gtz = lambda l_, r_: green_tau_zero_df32(  # noqa: E731
-                l_, r_, interpret=self._green_interpret)
+                l_, r_, interpret=self._green_interpret,
+                chain_limbs=self.cfg.ozaki_chain_limbs)
         else:
             gtz = lambda l_, r_: green_tau_zero(       # noqa: E731
                 l_, r_, compute_dtype=sdt)
@@ -1108,7 +1124,8 @@ class HubbardModel:
             lazy_U, _ = jax.lax.scan(absorb, f_carry.U,
                                      jnp.arange(s_int))
             f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
-                                 compose_dtype=sdt)
+                                 compose_dtype=sdt,
+                                 chain_limbs=cfg.ozaki_chain_limbs)
             return f_new, f_new
 
         _, emitted = jax.lax.scan(build_interval, eye_f,

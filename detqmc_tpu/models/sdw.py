@@ -150,6 +150,13 @@ class SDWConfig:
     # iteration 2 changes nothing) and measured 76.1 vs 68.5 sweeps/s
     # at SDW L=8 on the v5e with identical green_dev.
     green_refine_iters: int = 1
+    # Ozaki limb tier for the structural chain products (V-chain
+    # accumulation + green-inner VVh, ozaki.chain_limbs). The SDW
+    # range-split inner measures cond ~2e4, where 4 limbs sits at the
+    # refined-G floor (measured: 78.8 -> 91.4 sweeps/s at L=8 vs the
+    # full tier, green_dev unchanged); Hubbard's harsher conditioning
+    # needs 5 (see HubbardConfig.ozaki_chain_limbs).
+    ozaki_chain_limbs: int = 4
     # fused lane-batched slice-update kernel (linalg/pallas_sdw_update):
     # "auto" = on TPU for f32 phase-free representations (embedded
     # opdim >= 2, or the real opdim-1 sector); "pallas" forces it
@@ -567,6 +574,7 @@ class SDWModel:
     def _green(self, left: UDV, right_t: UDV) -> jax.Array:
         """Stabilized G from factored halves on the fastest valid path
         (same dispatch as HubbardModel._green)."""
+        cl = self.cfg.ozaki_chain_limbs
         if self.native:
             if self._green_refine:
                 from detqmc_tpu.linalg.cudv import cgreen_refine
@@ -574,23 +582,26 @@ class SDWModel:
                 return cgreen_refine(
                     left, right_t,
                     n_iter=self.cfg.green_refine_iters,
-                    interpret=self._green_interpret)
+                    interpret=self._green_interpret, chain_limbs=cl)
             from detqmc_tpu.linalg.cudv import cgreen_from_two_udv_df32
 
             return cgreen_from_two_udv_df32(
-                left, right_t, interpret=self._green_interpret)
+                left, right_t, interpret=self._green_interpret,
+                chain_limbs=cl)
         if self._green_refine:
             # real-representation refine (embed / opdim-1 sector)
             from detqmc_tpu.linalg.udv import green_refine
 
             return green_refine(left, right_t,
                                 n_iter=self.cfg.green_refine_iters,
-                                interpret=self._green_interpret)
+                                interpret=self._green_interpret,
+                                chain_limbs=cl)
         if self._green_pallas:
             from detqmc_tpu.linalg.udv import green_from_two_udv_df32
 
             return green_from_two_udv_df32(
-                left, right_t, interpret=self._green_interpret)
+                left, right_t, interpret=self._green_interpret,
+                chain_limbs=cl)
         return green_from_two_udv(
             left, right_t, compute_dtype=self.stab_dtype_eff
         ).astype(self.cdtype)
@@ -599,11 +610,13 @@ class SDWModel:
         """udv_refactor on the representation in play (complex-pair
         matrices in native mode)."""
         cdt = compose_dtype or self.stab_dtype_eff
+        cl = self.cfg.ozaki_chain_limbs
         if self.native:
             from detqmc_tpu.linalg.cudv import cudv_refactor
 
-            return cudv_refactor(M, d, V, compose_dtype=cdt)
-        return udv_refactor(M, d, V, compose_dtype=cdt)
+            return cudv_refactor(M, d, V, compose_dtype=cdt,
+                                 chain_limbs=cl)
+        return udv_refactor(M, d, V, compose_dtype=cdt, chain_limbs=cl)
 
     # ---- potential factor ---------------------------------------------------
     def _embed(self, blocks: jax.Array) -> jax.Array:
@@ -1965,17 +1978,20 @@ class SDWModel:
 
                 return lambda l_, r_: cgreen_tau_zero_refine(
                     l_, r_, n_iter=self.cfg.green_refine_iters,
-                    interpret=self._green_interpret)
+                    interpret=self._green_interpret,
+                    chain_limbs=self.cfg.ozaki_chain_limbs)
             from detqmc_tpu.linalg.cudv import cgreen_tau_zero_df32
 
             return lambda l_, r_: cgreen_tau_zero_df32(
-                l_, r_, interpret=self._green_interpret)
+                l_, r_, interpret=self._green_interpret,
+                chain_limbs=self.cfg.ozaki_chain_limbs)
         if self._green_refine:
             from detqmc_tpu.linalg.udv import green_tau_zero_refine
 
             return lambda l_, r_: green_tau_zero_refine(
                 l_, r_, n_iter=self.cfg.green_refine_iters,
-                interpret=self._green_interpret)
+                interpret=self._green_interpret,
+                chain_limbs=self.cfg.ozaki_chain_limbs)
         return lambda l_, r_: green_tau_zero(
             l_, r_, compute_dtype=self.stab_dtype_eff)
 

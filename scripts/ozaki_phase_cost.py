@@ -17,6 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_enable_x64", True)  # f64 inputs for matmul_f64
 import jax.numpy as jnp
 import numpy as np
 

@@ -216,6 +216,29 @@ def test_chain_limbs_complex_green_floor():
     assert err[4] < 2.0 * err[6] + 1e-9
 
 
+def test_chain_limbs_resolution():
+    """Per-caller tier: models request their conditioning-appropriate
+    limb count; the env var beats everything (A/B hook)."""
+    import os
+    from unittest import mock
+
+    from detqmc_tpu.linalg.ozaki import chain_limbs
+
+    env0 = {k: v for k, v in os.environ.items()
+            if k != "DETQMC_TPU_CHAIN_LIMBS"}
+    with mock.patch.dict(os.environ, env0, clear=True):
+        assert chain_limbs() == 4
+        assert chain_limbs(5) == 5
+    with mock.patch.dict(os.environ, {"DETQMC_TPU_CHAIN_LIMBS": "6"}):
+        assert chain_limbs() == 6
+        assert chain_limbs(5) == 6
+
+    from detqmc_tpu.models.hubbard import HubbardConfig
+    from detqmc_tpu.models.sdw import SDWConfig
+    assert HubbardConfig(L=4, beta=4.0, m=8, s=4).ozaki_chain_limbs == 5
+    assert SDWConfig(L=2, beta=1.0, m=8, s=4).ozaki_chain_limbs == 4
+
+
 def test_matmul_f64_zero_rows():
     A = np.zeros((8, 8))
     A[0, 0] = 1.0
