@@ -2,6 +2,11 @@
 chip, with a perfetto trace.json.gz for offline parsing (no tensorboard
 needed: the gzipped JSON event list carries per-op device timings).
 
+NOTE: on the remote-relay TPU (axon) this HANGS at start_trace — the
+relay does not support device trace collection (observed 2026-08-19,
+session 10). Use scripts/phase_sdw8b.py (direct phase micro-benchmarks)
+for attribution there; keep this for real local TPU hosts.
+
 Usage: python scripts/trace_sdw8.py [outdir] [L] [W]
 """
 
