@@ -11,8 +11,9 @@ W-batched state shapes the real sweep uses:
   green     (m/s)x _green of two stack entries             per sweep
   measure   (m/s)x measure(G, phi)                         per sweep
 
-Usage: python scripts/phase_sdw8b.py <section> [L] [W] [s]
+Usage: python scripts/phase_sdw8b.py <section> [L] [W] [s] [update_kernel] [delay]
   sections: wraps update absorb refactor green measure
+  update_kernel: auto (default) | pallas | delayed; delay = chunk K
 """
 
 from __future__ import annotations
@@ -27,6 +28,8 @@ section = sys.argv[1]
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 W = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 S = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+UPD = sys.argv[5] if len(sys.argv) > 5 else "auto"
+DELAY = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -41,7 +44,8 @@ from detqmc_tpu.models.sdw import SDWConfig, SDWModel  # noqa: E402
 
 def main():
     model = SDWModel(SDWConfig(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=S,
-                               dtype="float32", checkerboard=True))
+                               dtype="float32", checkerboard=True,
+                               update_kernel=UPD, delay=DELAY))
     cfg = model.cfg
     m, K = cfg.m, cfg.n_stack
     keys = jax.random.split(jax.random.key(1), W)
@@ -120,8 +124,9 @@ def main():
         out = fn(states)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_timed
-    print(f"{section:10s} L={L} W={W} s={S}: {dt * 1e3:8.1f} ms/sweep-equiv"
-          f"   (compile {compile_s:.0f}s)", flush=True)
+    tag = f" upd={UPD}/{DELAY}" if UPD != "auto" else ""
+    print(f"{section:10s} L={L} W={W} s={S}:{tag} {dt * 1e3:8.1f} "
+          f"ms/sweep-equiv   (compile {compile_s:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
