@@ -278,11 +278,22 @@ def _from_lanes(x, Gp, rows, w):
     return jnp.transpose(x, (0, 3, 1, 2)).reshape(Gp * WL, rows, w)
 
 
+def _prec() -> str:
+    """MXU precision of the XLA-side panel corrections and the flush.
+
+    "highest" (default) = bf16x6 passes, full-f32 products. "float32" =
+    bf16x3 (~1e-6 relative) — the same class of error the wrapped-G
+    drift already carries between stabilizations, and ~2x cheaper; the
+    green_dev monitor gates any regression. Trace-time env knob:
+    DETQMC_TPU_DELAYED_PREC=float32|highest."""
+    return os.environ.get("DETQMC_TPU_DELAYED_PREC", "highest")
+
+
 def _pmm(a, b):
     """Batched (re, im)-pair matmul (w, m, k) @ (w, k, n), f32-accurate
-    (precision=highest -> bf16x6 passes on the MXU)."""
+    (precision=highest -> bf16x6 passes on the MXU; see _prec)."""
     mm_ = functools.partial(jnp.einsum, "wmk,wkn->wmn",
-                            precision="highest")
+                            precision=_prec())
     ar, ai = a
     br, bi = b
     if ai is None and bi is None:

@@ -42,6 +42,7 @@ q = 2 case with weight R^2 -> c_det = 1.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WL = 128  # walkers per grid step (lane width)
+
+
+def _profile_skip() -> str:
+    """PROFILING-ONLY knob (breaks the physics; never set in production):
+    DETQMC_TPU_SDW_PROFILE=noupdate skips the per-site rank-q G
+    read-modify-write, =nodet replaces the det/adjugate accept chain with
+    an always-reject gate. Used by scripts/phase_sdw8b.py to attribute
+    the update phase's per-site cost on chip (trace-time read)."""
+    return os.environ.get("DETQMC_TPU_SDW_PROFILE", "")
 
 
 # ---- branch-free complex scalar helpers ((re, im) pairs; im None = real) ----
@@ -210,56 +220,67 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll, big):
         # columns. Rolled mode: Mosaic has no dynamic_slice on VALUES, so
         # the scalars come straight off the G refs with pl.ds on both
         # dims (cols were read before any write this site — same values).
-        M = [[None] * q for _ in range(q)]
-        for a in range(q):
-            ja = a * Ns + i
-            for b in range(q):
-                if isinstance(i, int):
-                    g_re = cols[b][0][ja:ja + 1, :, :]
-                    g_im = cols[b][1][ja:ja + 1, :, :] if cplx else None
-                else:
-                    jb = b * Ns + i
-                    g_re = gre[pl.ds(ja, 1), pl.ds(jb, 1), :]
-                    g_im = gim[pl.ds(ja, 1), pl.ds(jb, 1), :] \
-                        if cplx else None
-                one = 1.0 if a == b else 0.0
-                M[a][b] = (one - g_re,
-                           None if g_im is None else -g_im)
-        # A = 1 + Delta (1 - G_II)
-        A = [[None] * q for _ in range(q)]
-        for a in range(q):
-            for b in range(q):
-                acc = _cmul(D[a][0], M[0][b])
-                for k in range(1, q):
-                    acc = _cadd(acc, _cmul(D[a][k], M[k][b]))
-                if a == b:
-                    acc = (acc[0] + 1.0, acc[1])
-                A[a][b] = acc
-        if q == 2:
-            R = _det2(A)
-            adj = _adj2(A)
+        if _profile_skip() == "nodet":
+            # profiling only: skip the det/adjugate accept chain; a
+            # runtime-dependent tiny T (not constant-foldable) keeps the
+            # rank-q G update executing, gate = 0 keeps phi/acc inert
+            t0 = 0.01 * dphi_i[:, 0:1, :]
+            T = [[(t0, t0 if cplx else None) for _ in range(q)]
+                 for _ in range(q)]
+            gate = jnp.zeros_like(lhs_i)
         else:
-            R, adj = _det_adj4(A)
-        r2 = R[0] * R[0] if R[1] is None else R[0] * R[0] + R[1] * R[1]
-        accept = lhs_i < c_det * jnp.log(r2) + live
-        gate = accept.astype(dt)
+            M = [[None] * q for _ in range(q)]
+            for a in range(q):
+                ja = a * Ns + i
+                for b in range(q):
+                    if isinstance(i, int):
+                        g_re = cols[b][0][ja:ja + 1, :, :]
+                        g_im = cols[b][1][ja:ja + 1, :, :] \
+                            if cplx else None
+                    else:
+                        jb = b * Ns + i
+                        g_re = gre[pl.ds(ja, 1), pl.ds(jb, 1), :]
+                        g_im = gim[pl.ds(ja, 1), pl.ds(jb, 1), :] \
+                            if cplx else None
+                    one = 1.0 if a == b else 0.0
+                    M[a][b] = (one - g_re,
+                               None if g_im is None else -g_im)
+            # A = 1 + Delta (1 - G_II)
+            A = [[None] * q for _ in range(q)]
+            for a in range(q):
+                for b in range(q):
+                    acc = _cmul(D[a][0], M[0][b])
+                    for k in range(1, q):
+                        acc = _cadd(acc, _cmul(D[a][k], M[k][b]))
+                    if a == b:
+                        acc = (acc[0] + 1.0, acc[1])
+                    A[a][b] = acc
+            if q == 2:
+                R = _det2(A)
+                adj = _adj2(A)
+            else:
+                R, adj = _det_adj4(A)
+            r2 = R[0] * R[0] if R[1] is None \
+                else R[0] * R[0] + R[1] * R[1]
+            accept = lhs_i < c_det * jnp.log(r2) + live
+            gate = accept.astype(dt)
 
-        # T = gate * adj(A) Delta / R  (division gated: R_safe = 1 when
-        # rejected, so a tiny rejected R never produces inf * 0)
-        rs_re = R[0] * gate + (1.0 - gate)
-        rs_im = None if R[1] is None else R[1] * gate
-        den = rs_re * rs_re if rs_im is None else \
-            rs_re * rs_re + rs_im * rs_im
-        inv_den = gate / den
-        rinv = (rs_re * inv_den,
-                None if rs_im is None else -rs_im * inv_den)
-        T = [[None] * q for _ in range(q)]
-        for a in range(q):
-            for b in range(q):
-                acc = _cmul(adj[a][0], D[0][b])
-                for k in range(1, q):
-                    acc = _cadd(acc, _cmul(adj[a][k], D[k][b]))
-                T[a][b] = _cmul(acc, rinv)
+            # T = gate * adj(A) Delta / R  (division gated: R_safe = 1
+            # when rejected, so a tiny rejected R never produces inf * 0)
+            rs_re = R[0] * gate + (1.0 - gate)
+            rs_im = None if R[1] is None else R[1] * gate
+            den = rs_re * rs_re if rs_im is None else \
+                rs_re * rs_re + rs_im * rs_im
+            inv_den = gate / den
+            rinv = (rs_re * inv_den,
+                    None if rs_im is None else -rs_im * inv_den)
+            T = [[None] * q for _ in range(q)]
+            for a in range(q):
+                for b in range(q):
+                    acc = _cmul(adj[a][0], D[0][b])
+                    for k in range(1, q):
+                        acc = _cadd(acc, _cmul(adj[a][k], D[k][b]))
+                    T[a][b] = _cmul(acc, rinv)
 
         # rows: e_j - G[j, :]  (read BEFORE the update below)
         rows = []
@@ -285,7 +306,9 @@ def _kernel(*refs, N, q, opdim, nb, dtau, c_det, cplx, h, unroll, big):
                 combo = _cadd(combo, _cmul(cols[a], T[a][b]))
             combos.append(combo)                            # (h, 1, WL)
         rb = h if h <= 128 else 32
-        for r0 in range(0, h, rb):
+        row_range = () if _profile_skip() == "noupdate" else \
+            range(0, h, rb)
+        for r0 in row_range:
             cw_ = min(rb, h - r0)      # tail chunk when h % rb != 0
             upd_re = None
             upd_im = None
