@@ -145,6 +145,7 @@ _SDW_KEYS = {
     "spinProposalMethod": str,
     "fermionRepr": str, "updateKernel": str, "greenKernel": str,
     "greenRefineIters": int, "ozakiChainLimbs": int, "cbApply": str,
+    "wrapPrec": str,
 }
 
 _PT_KEYS = {
@@ -286,7 +287,8 @@ def build_sdw_config(model_params: Dict[str, str]):
                             ("greenKernel", "green_kernel"),
                             ("greenRefineIters", "green_refine_iters"),
                             ("ozakiChainLimbs", "ozaki_chain_limbs"),
-                            ("cbApply", "cb_apply")):
+                            ("cbApply", "cb_apply"),
+                            ("wrapPrec", "wrap_prec")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -166,6 +167,19 @@ class SDWConfig:
     # O(h^2) Green updates ride the MXU as batched matmul flushes;
     # "scan" forces the sequential lax.scan path
     update_kernel: str = "auto"
+    # MXU precision of the Green-function WRAP products B G B^-1 only
+    # (reference: the wrapped-G propagation between stabilizations,
+    # SURVEY.md §9 "Wrapping & stabilization"): "highest" = 6-pass bf16
+    # (f32-exact), "high" = 3-pass (~1e-6 relative — far below the
+    # ~1e-3 f32 accumulation drift the wrapped G already carries between
+    # anchors, and ~2x cheaper on the MXU). Wrapped G only enters
+    # Metropolis accept ratios between anchors; every measured G is the
+    # freshly stabilized one, and the always-on green_dev monitor gates
+    # any regression. The stabilization chain itself (absorb, QR,
+    # refactor) is NOT affected and stays at highest. "auto" = high on
+    # TPU (measured at SDW L=8: wraps 98 -> ~55 ms/sweep, green_dev
+    # unchanged), highest elsewhere.
+    wrap_prec: str = "auto"
     dtype: str = "float32"
     stab_dtype: str = "auto"
 
@@ -193,6 +207,9 @@ class SDWConfig:
         if self.cb_apply not in ("auto", "dense", "sparse"):
             raise ValueError("cb_apply must be auto|dense|sparse, got "
                              f"{self.cb_apply!r}")
+        if self.wrap_prec not in ("auto", "highest", "high"):
+            raise ValueError("wrap_prec must be auto|highest|high, got "
+                             f"{self.wrap_prec!r}")
 
     @property
     def dtau(self) -> float:
@@ -458,6 +475,13 @@ class SDWModel:
         np.add.at(Dmat, (s_, nb_np[:, 3]), -1.0)
         self._dwave_D = jnp.asarray(Dmat, cfg.jdtype)
         self.cb_sparse = cfg.checkerboard and cfg.cb_apply == "sparse"
+        # wrap-only matmul precision (see SDWConfig.wrap_prec); None =
+        # inherit the global default (highest). DETQMC_TPU_WRAP_PREC
+        # overrides for A/B measurement without a config edit.
+        _wp = os.environ.get("DETQMC_TPU_WRAP_PREC", cfg.wrap_prec)
+        if _wp == "auto":
+            _wp = "high" if jax.default_backend() == "tpu" else "highest"
+        self._wrap_prec = jax.lax.Precision.HIGH if _wp == "high" else None
         if cfg.checkerboard:
             # per-orbital group coefficients: groups (0, 1) are horizontal
             # bonds (amplitude t_hor of that orbital's band), (2, 3)
@@ -741,27 +765,30 @@ class SDWModel:
     def _from_orb(self, X: jax.Array) -> jax.Array:
         return X.reshape(self.n_orb * self.cfg.n_sites, -1)
 
-    def dv_mult_left(self, blocks: jax.Array, X: jax.Array) -> jax.Array:
+    def dv_mult_left(self, blocks: jax.Array, X: jax.Array,
+                     prec=None) -> jax.Array:
         """D_V @ X with D_V block-diagonal per site: blocks (N, 4, 4)
         (native: blocks (2, N, q, q) pair, X (2, dim, k) pair)."""
         if self.native:
             f = lambda b, x: self._from_orb(jnp.einsum(  # noqa: E731
-                "iab,bik->aik", b, self._as_orb(x)))
+                "iab,bik->aik", b, self._as_orb(x), precision=prec))
             re = f(blocks[0], X[0]) - f(blocks[1], X[1])
             im = f(blocks[0], X[1]) + f(blocks[1], X[0])
             return jnp.stack([re, im])
         Xo = self._as_orb(X)                                    # (4, N, k)
-        Xo = jnp.einsum("iab,bik->aik", blocks, Xo)
+        Xo = jnp.einsum("iab,bik->aik", blocks, Xo, precision=prec)
         return self._from_orb(Xo)
 
-    def dv_mult_right(self, X: jax.Array, blocks: jax.Array) -> jax.Array:
+    def dv_mult_right(self, X: jax.Array, blocks: jax.Array,
+                      prec=None) -> jax.Array:
         """X @ D_V."""
         no, N = self.n_orb, self.cfg.n_sites
 
         def f(x, b):
             k = x.shape[0]
             xo = x.reshape(k, no, N)
-            return jnp.einsum("kai,iab->kbi", xo, b).reshape(k, no * N)
+            return jnp.einsum("kai,iab->kbi", xo, b,
+                              precision=prec).reshape(k, no * N)
 
         if self.native:
             re = f(X[0], blocks[0]) - f(X[1], blocks[1])
@@ -770,37 +797,40 @@ class SDWModel:
         return f(X, blocks)
 
     def kinetic_mult_left(self, X: jax.Array, inv=False,
-                          transpose=False) -> jax.Array:
+                          transpose=False, prec=None) -> jax.Array:
         if self.native:
             # the kinetic factor is REAL: it applies to each plane
             # independently (conjugation lives in the D_V blocks)
             return jnp.stack([
-                self._kinetic_plane_left(X[0], inv, transpose),
-                self._kinetic_plane_left(X[1], inv, transpose)])
-        return self._kinetic_plane_left(X, inv, transpose)
+                self._kinetic_plane_left(X[0], inv, transpose, prec),
+                self._kinetic_plane_left(X[1], inv, transpose, prec)])
+        return self._kinetic_plane_left(X, inv, transpose, prec)
 
-    def _kinetic_plane_left(self, X, inv=False, transpose=False):
+    def _kinetic_plane_left(self, X, inv=False, transpose=False,
+                            prec=None):
         if self.cb_sparse:
             return self._kinetic_cb_left(X, inv, transpose)
         E = self.expK_inv if inv else self.expK
         if transpose:
             E = jnp.swapaxes(E, -1, -2)
         Xo = self._as_orb(X)
-        return self._from_orb(jnp.einsum("onm,omk->onk", E, Xo))
+        return self._from_orb(
+            jnp.einsum("onm,omk->onk", E, Xo, precision=prec))
 
-    def kinetic_mult_right(self, X: jax.Array, inv=False) -> jax.Array:
+    def kinetic_mult_right(self, X: jax.Array, inv=False,
+                           prec=None) -> jax.Array:
         if self.native:
-            return jnp.stack([self._kinetic_plane_right(X[0], inv),
-                              self._kinetic_plane_right(X[1], inv)])
-        return self._kinetic_plane_right(X, inv)
+            return jnp.stack([self._kinetic_plane_right(X[0], inv, prec),
+                              self._kinetic_plane_right(X[1], inv, prec)])
+        return self._kinetic_plane_right(X, inv, prec)
 
-    def _kinetic_plane_right(self, X, inv=False):
+    def _kinetic_plane_right(self, X, inv=False, prec=None):
         if self.cb_sparse:
             return self._kinetic_cb_right(X, inv)
         E = self.expK_inv if inv else self.expK
         k = X.shape[0]
         Xo = X.reshape(k, self.n_orb, self.cfg.n_sites)
-        Xo = jnp.einsum("kom,omn->kon", Xo, E)
+        Xo = jnp.einsum("kom,omn->kon", Xo, E, precision=prec)
         return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
 
     def _kinetic_cb_left(self, X, inv, transpose):
@@ -837,19 +867,24 @@ class SDWModel:
         return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
 
     # B = D_V expK (potential leftmost, same convention as Hubbard)
-    def b_mult_left(self, blocks, X):
-        return self.dv_mult_left(blocks, self.kinetic_mult_left(X))
+    def b_mult_left(self, blocks, X, prec=None):
+        return self.dv_mult_left(blocks,
+                                 self.kinetic_mult_left(X, prec=prec),
+                                 prec=prec)
 
-    def b_inv_mult_left(self, blocks_inv, X):
-        return self.kinetic_mult_left(self.dv_mult_left(blocks_inv, X),
-                                      inv=True)
+    def b_inv_mult_left(self, blocks_inv, X, prec=None):
+        return self.kinetic_mult_left(
+            self.dv_mult_left(blocks_inv, X, prec=prec),
+            inv=True, prec=prec)
 
-    def b_mult_right(self, X, blocks):
-        return self.kinetic_mult_right(self.dv_mult_right(X, blocks))
+    def b_mult_right(self, X, blocks, prec=None):
+        return self.kinetic_mult_right(
+            self.dv_mult_right(X, blocks, prec=prec), prec=prec)
 
-    def b_inv_mult_right(self, X, blocks_inv):
-        return self.dv_mult_right(self.kinetic_mult_right(X, inv=True),
-                                  blocks_inv)
+    def b_inv_mult_right(self, X, blocks_inv, prec=None):
+        return self.dv_mult_right(
+            self.kinetic_mult_right(X, inv=True, prec=prec),
+            blocks_inv, prec=prec)
 
     def bT_mult_left(self, blocks, X):
         """B^H @ X = expK^H (D_V^H X) for the transposed right stack."""
@@ -1350,12 +1385,14 @@ class SDWModel:
 
     # ---- wraps ---------------------------------------------------------------
     def wrap_up(self, G, blocks, blocks_inv):
-        return self.b_mult_left(blocks,
-                                self.b_inv_mult_right(G, blocks_inv))
+        p = self._wrap_prec
+        return self.b_mult_left(
+            blocks, self.b_inv_mult_right(G, blocks_inv, prec=p), prec=p)
 
     def wrap_down(self, G, blocks, blocks_inv):
-        return self.b_inv_mult_left(blocks_inv,
-                                    self.b_mult_right(G, blocks))
+        p = self._wrap_prec
+        return self.b_inv_mult_left(
+            blocks_inv, self.b_mult_right(G, blocks, prec=p), prec=p)
 
     # ---- measurement -----------------------------------------------------------
     def _phys_green_parts(self, G):
