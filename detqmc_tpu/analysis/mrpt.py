@@ -91,7 +91,12 @@ class MultireweightPT:
 
     # -- reweighted expectations ------------------------------------------------
     def _log_weights(self, r_target: float) -> np.ndarray:
-        assert self._solved, "call solve() first"
+        if not self._solved:
+            from detqmc_tpu.exceptions import GeneralError
+
+            raise GeneralError(
+                "MultireweightPT used before solve(): call solve() to "
+                "fit the free-energy shifts before reweighting")
         nat = self._native()
         if nat is not None:
             lw = nat.fs_log_weights(self.a_all, self.r_values,

@@ -475,13 +475,21 @@ class SDWModel:
         np.add.at(Dmat, (s_, nb_np[:, 3]), -1.0)
         self._dwave_D = jnp.asarray(Dmat, cfg.jdtype)
         self.cb_sparse = cfg.checkerboard and cfg.cb_apply == "sparse"
-        # wrap-only matmul precision (see SDWConfig.wrap_prec); None =
-        # inherit the global default (highest). DETQMC_TPU_WRAP_PREC
-        # overrides for A/B measurement without a config edit.
+        # wrap-only matmul precision (see SDWConfig.wrap_prec).
+        # DETQMC_TPU_WRAP_PREC overrides for A/B measurement without a
+        # config edit — validated so a typo can't silently measure
+        # nothing, and "highest" maps to an explicit Precision (not
+        # None) so the wrap path never depends on the mutable
+        # jax_default_matmul_precision global.
         _wp = os.environ.get("DETQMC_TPU_WRAP_PREC", cfg.wrap_prec)
+        if _wp not in ("auto", "high", "highest"):
+            raise ValueError(
+                f"DETQMC_TPU_WRAP_PREC/wrap_prec must be one of "
+                f"'auto'/'high'/'highest', got {_wp!r}")
         if _wp == "auto":
             _wp = "high" if jax.default_backend() == "tpu" else "highest"
-        self._wrap_prec = jax.lax.Precision.HIGH if _wp == "high" else None
+        self._wrap_prec = (jax.lax.Precision.HIGH if _wp == "high"
+                           else jax.lax.Precision.HIGHEST)
         if cfg.checkerboard:
             # per-orbital group coefficients: groups (0, 1) are horizontal
             # bonds (amplitude t_hor of that orbital's band), (2, 3)

@@ -25,13 +25,16 @@ def _sweep_obs(model):
     return st, obs
 
 
+@pytest.mark.skipif(jax.default_backend() == "tpu",
+                    reason="HIGH != HIGHEST on the MXU; bit-identity "
+                           "only holds where both are full f32")
 @pytest.mark.parametrize("opdim", [1, 3])
 def test_wrap_prec_high_matches_highest_off_tpu(opdim):
     kw = dict(L=4, opdim=opdim, beta=2.0, m=16, s=4, dtype="float32",
               checkerboard=True)
     m_hi = SDWModel(SDWConfig(**kw, wrap_prec="highest"))
     m_h = SDWModel(SDWConfig(**kw, wrap_prec="high"))
-    assert m_hi._wrap_prec is None
+    assert m_hi._wrap_prec == jax.lax.Precision.HIGHEST
     assert m_h._wrap_prec == jax.lax.Precision.HIGH
     st_hi, obs_hi = _sweep_obs(m_hi)
     st_h, obs_h = _sweep_obs(m_h)
