@@ -4,9 +4,20 @@ Matches BASELINE.md's driver-defined target: full sweep pairs (up+down,
 every site Metropolis-updated, QR/UdV stabilization every s slices,
 measurements on) batched over vmapped walkers on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": sweeps/sec/chip, "unit": "sweeps/s",
-   "vs_baseline": value / single-core-C++-equivalent}
+Prints ONE JSON line at the end; every section is failure-isolated
+(round-3 lesson: a single gate trip at one shape must not erase the
+other sections' already-computed numbers). Each section's metric is
+echoed to stderr as it lands; gate values are *recorded* (value + pass
+flag), never raised, and the process exits 0 whenever the JSON printed
+— the `ok` field and per-section `status` carry the failure signal.
+
+Sections:
+  1. hubbard   — L=8 beta=8 sweeps/s/chip (the BASELINE.json target)
+  2. sdw_l4    — O(3) SDW L=4 sweeps/s (BASELINE.json config #3)
+  3. sdw_l8    — O(3) SDW L=8 (science scale, checkerboard, s=8)
+  4. qr_gflops — stabilized B-chain refactor GFLOP/s + MFU (the second
+                 BASELINE.json metric: f64-equivalent FLOP/s through
+                 the UdV stabilization step at both bench shapes)
 
 The baseline denominator is the single-core fp64 CPU implementation in
 native/baseline (same algorithm: dense wraps, rank-1 SM updates, QR
@@ -17,7 +28,9 @@ stabilization), measured on this machine — see BASELINE.md. A sweep here
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import jax
 
@@ -28,10 +41,8 @@ import numpy as np
 from detqmc_tpu.models.hubbard import HubbardConfig, HubbardModel
 
 # single-core C++ baseline (native/baseline/dqmc_baseline.cpp) measured on
-# this machine; see BASELINE.md "Measured baseline denominator".
-# (Re-measured 2026-08-19 on an idle machine — the earlier 25.5 was
-# depressed by background load; the honest denominator is the best the
-# baseline achieves.)
+# this machine; see BASELINE.md "Measured baseline denominator"
+# (idle-machine re-measurement 2026-08-19).
 BASELINE_SWEEPS_PER_SEC = 27.2
 
 L, BETA, M, S = 8, 8.0, 80, 4
@@ -45,23 +56,31 @@ N_TIMED_PAIRS = 5
 # selftest-pinned to the model's G at 1e-12 (tests/test_sdw_baseline.py)
 # and measured on this machine (BASELINE.md). Two sizes: L=4 and the
 # science-scale L=8 (complex dim 256; the SDW papers run L = 8-14) —
-# both on the native-complex chain (complex QR + complex df32 green
-# kernels, rolled/chunked fused update kernel, L=8 adds checkerboard).
+# both on the native-complex chain. The L=8 line runs s=8 and is divided
+# by the C++ baseline at the SAME s.
 SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
-# idle-machine re-measurement 2026-08-19 (earlier 52.6 / 1.58 were
-# load-depressed). The L=8 line runs s=8 (the session-10 stabilization
-# scan: dev med 2.2e-5, 5x gate headroom, 1.42x over s=4; f32-vs-f64
-# ensemble bias validated at s=8 — BASELINE.md) and is divided by the
-# C++ baseline at the SAME s.
 SDW_BASELINE_SWEEPS_PER_SEC = {4: 67.6, 8: 3.41}
 SDW8_S = 8
-# W=128 fills the 128-lane kernels (W=64 padded them to half occupancy;
-# the fused update kernel's cost is W-independent up to 128 lanes).
-# Memory: ~17 MB/walker * 128 ~ 2.2 GB << 16 GB HBM.
 SDW8_W = 128
 
+# v5e (v5 lite) chip peak: 197 TFLOP/s bf16 MXU. MFU below is
+# f64-equivalent algorithm FLOPs / bf16 peak — conservative: the Ozaki
+# chain products actually issue 10-21 bf16 matmuls per logical f64
+# product, so raw MXU occupancy is far higher than this number.
+V5E_PEAK_FLOPS = 197e12
 
-def _bench_hubbard():
+# Wrapped-vs-stabilized drift gates (medians over walkers; the max has a
+# sporadic tail from near-singular Metropolis ratios). Measured healthy
+# medians: Hubbard beta=8 ~1.8e-3 (f32 chain, measured G is the
+# stabilized one at ~1e-5), SDW ~1e-5 (refine) / ~2e-5 (L=8 s=8).
+GATES = {
+    "hubbard": 6e-3,
+    "sdw_l4": 1e-4,
+    "sdw_l8": 1e-4,
+}
+
+
+def _bench_hubbard(out):
     cfg = HubbardConfig(L=L, U=4.0, beta=BETA, m=M, s=S, dtype="float32")
     model = HubbardModel(cfg)
     keys = jax.random.split(jax.random.key(0), N_WALKERS)
@@ -83,25 +102,22 @@ def _bench_hubbard():
 
     sweeps = N_WALKERS * N_TIMED_PAIRS * 2  # pair = 2 sweeps
     value = sweeps / dt
-    # sanity: physics must hold or the number is meaningless
     occ_mean = float(np.asarray(occ).mean())
-    assert abs(occ_mean - 1.0) < 1e-3, f"unphysical occupancy {occ_mean}"
-    # green_dev is the wrapped-vs-freshly-stabilized drift *before* each
-    # replacement; the measured G is always the stabilized one (~1e-5
-    # accurate via the df32 kernel). The walker median gates the run; the
-    # max has a sporadic tail from near-singular Metropolis ratios.
-    # Measured median ~1.8e-3 at beta=8: the 6e-3 gate catches any >~3x
-    # stabilization regression.
     dev_med = float(np.median(np.asarray(states.green_dev)))
-    assert dev_med < 6e-3, f"stabilization broken: green_dev={dev_med}"
-    return value
+    out["value"] = round(value, 2)
+    out["vs_baseline"] = round(value / BASELINE_SWEEPS_PER_SEC, 2)
+    out["green_dev_med"] = dev_med
+    out["occupancy"] = round(occ_mean, 6)
+    # physics sanity (half filling) + stabilization gate
+    out["gate_pass"] = bool(dev_med < GATES["hubbard"]
+                            and abs(occ_mean - 1.0) < 1e-3)
 
 
-def _bench_sdw_o3(L, W, n_timed=3, checkerboard=False,
-                  green_kernel="auto", s=SDW_S):
+def _bench_sdw_o3(out, L_, W, n_timed=3, checkerboard=False,
+                  green_kernel="auto", s=SDW_S, gate=1e-4):
     from detqmc_tpu.models.sdw import SDWConfig, SDWModel
 
-    cfg = SDWConfig(L=L, opdim=3, r=0.5, beta=SDW_BETA, m=SDW_M,
+    cfg = SDWConfig(L=L_, opdim=3, r=0.5, beta=SDW_BETA, m=SDW_M,
                     s=s, dtype="float32", checkerboard=checkerboard,
                     green_kernel=green_kernel)
     model = SDWModel(cfg)
@@ -116,44 +132,154 @@ def _bench_sdw_o3(L, W, n_timed=3, checkerboard=False,
     dt = time.perf_counter() - t0
     value = W * n_timed * 2 / dt
     dev_med = float(np.median(np.asarray(states.green_dev)))
-    assert dev_med < 1e-4, f"SDW stabilization broken: green_dev={dev_med}"
-    assert np.isfinite(float(np.asarray(obs.phiSquared).mean()))
-    return value
+    phi2 = float(np.asarray(obs.phiSquared).mean())
+    out["value"] = round(value, 2)
+    out["vs_baseline"] = round(value / SDW_BASELINE_SWEEPS_PER_SEC[L_], 2)
+    out["green_dev_med"] = dev_med
+    out["green_kernel"] = green_kernel
+    out["gate_pass"] = bool(dev_med < gate and np.isfinite(phi2))
 
 
-def _sdw_with_fallback(L, W, **kw):
+def _bench_qr_gflops(out):
+    """f64-equivalent FLOP/s through one stabilized B-chain refactor
+    step (compose B.(U d V) -> QR -> V-chain product) at both bench
+    shapes, vmapped over the bench walker counts.
+
+    FLOP accounting (f64-equivalent, the algorithm's arithmetic — NOT
+    the bf16 limb products the Ozaki path actually issues):
+      compose M.(U diag(d)) : 2 n^3       (one n x n matmul)
+      Householder QR with Q : 8/3 n^3     (R: 4/3, forming Q: 4/3)
+      V-chain (R' V)        : 2 n^3
+      total                 : 20/3 n^3 real; complex = 4x real.
+    """
+    from detqmc_tpu.linalg import cudv, udv
+
+    results = {}
+    # --- Hubbard shape: real 64x64, W=256, m/s = 20 anchors/sweep ---
+    n, W = L * L, N_WALKERS
+    key = jax.random.key(2)
+    M_ = jax.random.normal(key, (W, n, n), dtype=jnp_f32())
+    d0 = jnp_exp_spread(key, W, n, spread=4.0)
+    f0 = jax.jit(jax.vmap(udv.udv_decompose))(M_)
+
+    import jax.numpy as jnp
+
+    def refac_real(Mb, db, Vb):
+        # compose in f64 like the models do (beta=8 d-span needs it)
+        return udv.udv_refactor(Mb, db, Vb, compose_dtype=jnp.float64)
+
+    step = jax.jit(jax.vmap(refac_real))
+    r = jax.block_until_ready(step(M_, d0, f0.V))
+    n_rep = 20
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        r = step(M_, r.d, r.V)
+    jax.block_until_ready(r.d)
+    dt = time.perf_counter() - t0
+    flops = n_rep * W * (20.0 / 3.0) * n ** 3
+    results["hubbard_qr_gflops"] = round(flops / dt / 1e9, 1)
+
+    # --- SDW shape: complex 256x256 pair, W=128, m/s = 5 anchors ---
+    nc, Wc = 4 * 8 * 8, SDW8_W
+    kr, _ = jax.random.split(jax.random.key(3))
+    Mc = jax.random.normal(kr, (Wc, 2, nc, nc), dtype=jnp_f32())
+    dc = jnp_exp_spread(kr, Wc, nc, spread=4.0)
+    fc = jax.jit(jax.vmap(cudv.cudv_decompose))(Mc)
+
+    def refac_cplx(Mb, db, Vb):
+        return cudv.cudv_refactor(Mb, db, Vb)
+
+    stepc = jax.jit(jax.vmap(refac_cplx))
+    rc_ = jax.block_until_ready(stepc(Mc, dc, fc.V))
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        rc_ = stepc(Mc, rc_.d, rc_.V)
+    jax.block_until_ready(rc_.d)
+    dt = time.perf_counter() - t0
+    flops = n_rep * Wc * 4.0 * (20.0 / 3.0) * nc ** 3
+    results["sdw_qr_gflops"] = round(flops / dt / 1e9, 1)
+    results["sdw_qr_mfu_pct"] = round(
+        100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
+    results["hubbard_qr_mfu_pct"] = round(
+        100.0 * results["hubbard_qr_gflops"] * 1e9 / V5E_PEAK_FLOPS, 2)
+    out.update(results)
+    out["gate_pass"] = True
+
+
+def jnp_f32():
+    import jax.numpy as jnp
+    return jnp.float32
+
+
+def jnp_exp_spread(key, W, n, spread):
+    """Graded positive scales spanning e^{+-spread} — a realistic UdV
+    d-spectrum so the scaled-QR path is exercised, not an identity."""
+    import jax.numpy as jnp
+    u = jax.random.uniform(key, (W, n), dtype=jnp.float32,
+                           minval=-spread, maxval=spread)
+    return jnp.exp(jnp.sort(u, axis=-1)[..., ::-1])
+
+
+def _sdw_with_fallback(out, L_, W, **kw):
     """Native auto = the refined mixed-precision solve; if it fails on
     this chip (compile or accuracy gate), fall back to the df32 kernels
     — a bench number always lands."""
     try:
-        return _bench_sdw_o3(L, W, **kw)
+        _bench_sdw_o3(out, L_, W, **kw)
+        if out.get("gate_pass"):
+            return
+        print(f"# refine path gate-tripped at L={L_} "
+              f"(green_dev={out.get('green_dev_med')}); retrying df32",
+              file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — any failure falls back
-        import sys
-
-        print(f"# refine path failed at L={L} ({type(e).__name__}); "
+        print(f"# refine path failed at L={L_} ({type(e).__name__}); "
               "falling back to green_kernel=df32", file=sys.stderr)
-        return _bench_sdw_o3(L, W, green_kernel="df32", **kw)
+    kw.pop("green_kernel", None)
+    _bench_sdw_o3(out, L_, W, green_kernel="df32", **kw)
 
 
 def main() -> None:
-    value = _bench_hubbard()
-    sdw_value = _sdw_with_fallback(SDW_L, SDW_W)
-    sdw8_value = _sdw_with_fallback(8, SDW8_W, checkerboard=True,
-                                    s=SDW8_S)
+    sections = {}
 
+    def run(name, fn, *a, **kw):
+        out = {"status": "ok"}
+        t0 = time.perf_counter()
+        try:
+            fn(out, *a, **kw)
+        except Exception:
+            out["status"] = "error"
+            out["error"] = traceback.format_exc().strip().splitlines()[-1]
+            traceback.print_exc(file=sys.stderr)
+        out["wall_s"] = round(time.perf_counter() - t0, 1)
+        sections[name] = out
+        print(f"# [{name}] {json.dumps(out)}", file=sys.stderr, flush=True)
+
+    run("hubbard", _bench_hubbard)
+    run("sdw_l4", _sdw_with_fallback, SDW_L, SDW_W, gate=GATES["sdw_l4"])
+    run("sdw_l8", _sdw_with_fallback, 8, SDW8_W, checkerboard=True,
+        s=SDW8_S, gate=GATES["sdw_l8"])
+    run("qr_gflops", _bench_qr_gflops)
+
+    hub = sections.get("hubbard", {})
+    sdw4 = sections.get("sdw_l4", {})
+    sdw8 = sections.get("sdw_l8", {})
+    qr = sections.get("qr_gflops", {})
+    ok = all(s.get("status") == "ok" and s.get("gate_pass", False)
+             for s in sections.values())
     print(json.dumps({
         "metric": f"hubbard_L{L}_beta{int(BETA)}_sweeps_per_sec_per_chip",
-        "value": round(value, 2),
+        "value": hub.get("value"),
         "unit": "sweeps/s",
-        "vs_baseline": round(value / BASELINE_SWEEPS_PER_SEC, 2),
-        f"sdw_o3_L{SDW_L}_beta{int(SDW_BETA)}_sweeps_per_sec": round(
-            sdw_value, 2),
-        f"sdw_o3_L{SDW_L}_vs_baseline": round(
-            sdw_value / SDW_BASELINE_SWEEPS_PER_SEC[SDW_L], 2),
-        f"sdw_o3_L8_beta{int(SDW_BETA)}_sweeps_per_sec": round(
-            sdw8_value, 2),
-        "sdw_o3_L8_vs_baseline": round(
-            sdw8_value / SDW_BASELINE_SWEEPS_PER_SEC[8], 2),
+        "vs_baseline": hub.get("vs_baseline"),
+        f"sdw_o3_L{SDW_L}_beta{int(SDW_BETA)}_sweeps_per_sec":
+            sdw4.get("value"),
+        f"sdw_o3_L{SDW_L}_vs_baseline": sdw4.get("vs_baseline"),
+        f"sdw_o3_L8_beta{int(SDW_BETA)}_sweeps_per_sec": sdw8.get("value"),
+        "sdw_o3_L8_vs_baseline": sdw8.get("vs_baseline"),
+        "qr_chain_gflops": {k: v for k, v in qr.items()
+                            if k.endswith("gflops") or k.endswith("pct")},
+        "ok": ok,
+        "sections": sections,
     }))
 
 
