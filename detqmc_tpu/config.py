@@ -129,6 +129,7 @@ _HUBBARD_KEYS = {
     "checkerboard": _to_bool, "updateMethod": str, "delay": int,
     "dtype": str, "updateKernel": str, "greenKernel": str,
     "greenRefineIters": int, "ozakiChainLimbs": int, "cbApply": str,
+    "staggerH": float,
 }
 
 _SDW_KEYS = {
@@ -248,7 +249,8 @@ def build_hubbard_config(model_params: Dict[str, str]):
                             ("greenKernel", "green_kernel"),
                             ("greenRefineIters", "green_refine_iters"),
                             ("ozakiChainLimbs", "ozaki_chain_limbs"),
-                            ("cbApply", "cb_apply")):
+                            ("cbApply", "cb_apply"),
+                            ("staggerH", "stagger_h")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:

@@ -106,6 +106,17 @@ class HubbardConfig:
     # when dtype is float32 (the inner matrix's condition ~ e^{beta W}
     # exceeds fp32 past beta ~ 4; see linalg/udv.green_from_two_udv)
     stab_dtype: str = "auto"
+    # staggered bias on the Hirsch auxiliary field: adds -h * sum_{l,i}
+    # eta_i s_{l,i} (eta = (-1)^{sum coords}) to the bosonic action.
+    # h = 0 is the physical Hubbard model; h != 0 biases the HS spins
+    # toward the AF pattern. Its purpose is PARALLEL TEMPERING: h is
+    # linear in the action (exchange-conjugate a = -sum eta s), so an
+    # h-grid tempers Hubbard with determinant-free swaps — the second
+    # worked PT control parameter next to SDW's r (reference: detqmcpt
+    # tempers a model-declared scalar the same way; SURVEY.md §1/§3
+    # "Parallel tempering"). Carried traced in WalkerState.h so PT can
+    # relabel replicas without recompiling.
+    stagger_h: float = 0.0
 
     def __post_init__(self):
         if self.m % self.s != 0:
@@ -185,6 +196,8 @@ class WalkerState(NamedTuple):
     green_dev: jax.Array   # f32: max |G_wrapped - G_stabilized| last sweep
     sv_min: jax.Array      # f32: log10 smallest stack scale seen last sweep
     sv_max: jax.Array      # f32
+    h: jax.Array           # staggered HS-bias (PT control parameter;
+    #                        cfg.stagger_h outside tempering)
 
 
 class Observables(NamedTuple):
@@ -553,6 +566,15 @@ class HubbardModel:
         key, sweep_key = jax.random.split(key)
         # one uniform vector per slice, drawn up front: (m, N)
         u01 = jax.random.uniform(sweep_key, (cfg.m, N), dtype=dt)
+        # staggered HS-bias (cfg.stagger_h / PT control parameter): the
+        # flip of s_{l,i} changes the bosonic action by 2 h eta_i s_{l,i},
+        # i.e. accept iff u < |R_fermion| e^{-2 h eta s}. Each site is
+        # visited exactly once per slice pass with its field value still
+        # equal to the sweep-start value, so the bias folds EXACTLY into
+        # a pre-scaling of the uniform draws — the update kernels never
+        # see h. At h = 0 the scale is exp(0) = 1.0 and u01 * 1.0 is
+        # bit-identical, so untempered runs are unchanged.
+        u01 = u01 * jnp.exp((2.0 * state.h) * self.stagger[None, :] * field)
 
         eye_f = self._eye_mixed()
 
@@ -644,6 +666,7 @@ class HubbardModel:
             green_dev=dev.astype(jnp.float32),
             sv_min=sv_min.astype(jnp.float32),
             sv_max=sv_max.astype(jnp.float32),
+            h=state.h,
         )
         n_meas = jnp.asarray(K, dt)
         obs_mean = jax.tree.map(lambda a: a / n_meas, obs_sum)
@@ -669,6 +692,27 @@ class HubbardModel:
         state, obs2 = self._sweep(state, up=False, measure=measure)
         obs = jax.tree.map(lambda a, b: 0.5 * (a + b), obs1, obs2)
         return state, obs
+
+    # -- parallel tempering hooks -------------------------------------------
+    # Hubbard tempers the staggered HS-bias h (cfg.stagger_h): linear in
+    # the bosonic action, so swaps exchange labels with NO determinant
+    # re-evaluation — the same protocol as SDW's r (SURVEY.md §1/§3
+    # "Parallel tempering"; reference: detqmcpt.h's model-declared
+    # exchange parameter). h = 0 replicas sample the physical model;
+    # the graded-h ladder mixes AF-ordered HS configurations down into
+    # the physical ensemble.
+    control_parameter = "stagger_h"
+
+    def exchange_action(self, state: WalkerState) -> jax.Array:
+        """The h-conjugate action piece a = dS/dh = -sum_{l,i} eta_i
+        s_{l,i} (weight = e^{-h a}; see _sweep's u01 bias note)."""
+        return -jnp.sum(self.stagger[None, :] * state.field)
+
+    def with_r(self, state: WalkerState, h) -> WalkerState:
+        """PT relabel hook (name shared with SDW's with_r: the driver is
+        parameter-agnostic). h never touches the fermion determinant, so
+        G/stacks stay valid across a swap."""
+        return state._replace(h=jnp.asarray(h, self.cfg.jdtype))
 
     # -- naive cross-check sweep --------------------------------------------
     def green_at_slice(self, field: jax.Array, l: int) -> jax.Array:
@@ -1097,6 +1141,7 @@ class HubbardModel:
             green_dev=jnp.zeros((), jnp.float32),
             sv_min=jnp.zeros((), jnp.float32),
             sv_max=jnp.zeros((), jnp.float32),
+            h=jnp.asarray(cfg.stagger_h, dt),
         )
         return self.refresh_from_field(state0)
 
