@@ -193,10 +193,16 @@ def cinv_refined(inner, n_iter: int = 2, interpret: bool = False):
     eye = cpx_eye(n, f64, inner.shape[:-3])
     rl = residual_limbs()
     mm_res = lambda a, b: mm_f64(a, b, limbs=rl)  # noqa: E731
+    # Newton-Schulz with a divergence freeze guard — see
+    # udv.inv_refined: quadratic contraction (rho0^(2^k)) at the same
+    # per-step cost, and batch elements whose residual max|S| >= 1
+    # keep their current Z instead of blowing up.
     for _ in range(n_iter):
         S = eye - cpx_mm_last(inner, Z.astype(f64), mm_fn=mm_res)
         S32 = S.astype(f32)
-        Z = Z + cpx_mm_last(Rinv, cpx_mm_last(Qh, S32))
+        ok = (jnp.max(jnp.abs(S32), axis=(-3, -2, -1), keepdims=True)
+              < 1.0).astype(f32)
+        Z = Z + ok * cpx_mm_last(Z, S32)
     return Z
 
 

@@ -311,9 +311,21 @@ def inv_refined(inner, n_iter: int = 2, interpret: bool = False):
     eye = jnp.broadcast_to(jnp.eye(n, dtype=f64),
                            (*inner.shape[:-2], n, n))
     rl = residual_limbs()
+    # Newton-Schulz: Z <- Z + Z (I - A Z). Same cost per step as the
+    # old stationary M(I - A Z) correction (one f32 matmul cheaper) but
+    # QUADRATIC: the contraction at step k is rho0^(2^k) instead of
+    # rho0^k, so high-conditioned inners (rho0 = n cond eps_f32
+    # approaching 1 — Hubbard beta=8 anchors) still converge. Guard:
+    # a step only applies where max|S| < 1 (the NS convergence
+    # condition); divergent batch elements freeze at their best Z
+    # instead of blowing up doubly-exponentially (round-3 measured
+    # green_dev max ~4e6 from exactly that blowup).
     for _ in range(n_iter):
-        S = (eye - mm_f64(inner, Z.astype(f64), limbs=rl)).astype(f32)
-        Z = Z + mm(Rinv, mm(Qt, S))
+        S64 = eye - mm_f64(inner, Z.astype(f64), limbs=rl)
+        S = S64.astype(f32)
+        ok = (jnp.max(jnp.abs(S), axis=(-2, -1), keepdims=True)
+              < 1.0).astype(f32)
+        Z = Z + ok * mm(Z, S)
     return Z
 
 

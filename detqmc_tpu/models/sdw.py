@@ -487,7 +487,13 @@ class SDWModel:
                 f"DETQMC_TPU_WRAP_PREC/wrap_prec must be one of "
                 f"'auto'/'high'/'highest', got {_wp!r}")
         if _wp == "auto":
-            _wp = "high" if jax.default_backend() == "tpu" else "highest"
+            # measured on the chip (round 4, scripts/bisect_l4.py):
+            # HIGH (3-pass bf16) wraps trip the 1e-4 green_dev gate at
+            # BOTH bench shapes (L=4 med 2.2e-4 vs 8.5e-6, L=8 med
+            # 5.2e-4) for only 3-5% speed — the round-3 HIGH default
+            # was the BENCH_r03 regression. auto = full f32; "high"
+            # stays an explicit opt-in for gate-relaxed experiments.
+            _wp = "highest"
         self._wrap_prec = (jax.lax.Precision.HIGH if _wp == "high"
                            else jax.lax.Precision.HIGHEST)
         if cfg.checkerboard:

@@ -52,3 +52,15 @@ def test_wrap_prec_config_key_and_validation():
     assert cfg.wrap_prec == "high"
     with pytest.raises(ValueError):
         SDWConfig(L=4, opdim=1, beta=2.0, m=8, s=2, wrap_prec="bf16")
+
+
+def test_wrap_prec_auto_resolves_highest_and_env_validated(monkeypatch):
+    """auto = full f32 everywhere (the round-3 HIGH-on-TPU default was
+    the BENCH_r03 green_dev regression), and a typo'd env override must
+    fail loudly instead of silently measuring nothing."""
+    kw = dict(L=4, opdim=1, beta=2.0, m=8, s=2, dtype="float32")
+    m_auto = SDWModel(SDWConfig(**kw, wrap_prec="auto"))
+    assert m_auto._wrap_prec == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("DETQMC_TPU_WRAP_PREC", "hgih")
+    with pytest.raises(ValueError):
+        SDWModel(SDWConfig(**kw))
