@@ -146,7 +146,7 @@ _SDW_KEYS = {
     "spinProposalMethod": str,
     "fermionRepr": str, "updateKernel": str, "greenKernel": str,
     "greenRefineIters": int, "ozakiChainLimbs": int, "cbApply": str,
-    "wrapPrec": str,
+    "wrapPrec": str, "wrapKernel": str,
 }
 
 _PT_KEYS = {
@@ -290,7 +290,8 @@ def build_sdw_config(model_params: Dict[str, str]):
                             ("greenRefineIters", "green_refine_iters"),
                             ("ozakiChainLimbs", "ozaki_chain_limbs"),
                             ("cbApply", "cb_apply"),
-                            ("wrapPrec", "wrap_prec")):
+                            ("wrapPrec", "wrap_prec"),
+                            ("wrapKernel", "wrap_kernel")):
         if conf_key in typed:
             typed[field] = typed.pop(conf_key)
     try:

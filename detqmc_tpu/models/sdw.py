@@ -170,16 +170,21 @@ class SDWConfig:
     # MXU precision of the Green-function WRAP products B G B^-1 only
     # (reference: the wrapped-G propagation between stabilizations,
     # SURVEY.md §9 "Wrapping & stabilization"): "highest" = 6-pass bf16
-    # (f32-exact), "high" = 3-pass (~1e-6 relative — far below the
-    # ~1e-3 f32 accumulation drift the wrapped G already carries between
-    # anchors, and ~2x cheaper on the MXU). Wrapped G only enters
-    # Metropolis accept ratios between anchors; every measured G is the
-    # freshly stabilized one, and the always-on green_dev monitor gates
-    # any regression. The stabilization chain itself (absorb, QR,
-    # refactor) is NOT affected and stays at highest. "auto" = high on
-    # TPU (measured at SDW L=8: wraps 98 -> ~55 ms/sweep, green_dev
-    # unchanged), highest elsewhere.
+    # (f32-exact), "high" = 3-pass bf16. "auto" = highest: the round-3
+    # HIGH-on-TPU default was measured on the chip (round 4) at
+    # green_dev med 2.2e-4 (L=4) / 5.2e-4 (L=8) against the 1e-4 gates
+    # — the per-wrap ~1e-6 error compounds over the s wraps between
+    # anchors and sits directly on the monitored drift — for only 3-5%
+    # speed. "high" stays opt-in for gate-relaxed experiments.
     wrap_prec: str = "auto"
+    # wrap execution path: "auto" = the fused single-pass Pallas wrap
+    # kernel (linalg/pallas_sdw_wrap: all four B-factors applied in
+    # VMEM, ONE HBM round trip of G instead of ~8) on TPU for the
+    # native-pair representation at dim >= 128 with dense kinetic
+    # factors; "xla" forces the chained-einsum path; "fused" forces the
+    # kernel (interpret mode off-TPU). Env DETQMC_TPU_WRAP overrides
+    # for A/B measurement.
+    wrap_kernel: str = "auto"
     dtype: str = "float32"
     stab_dtype: str = "auto"
 
@@ -210,6 +215,9 @@ class SDWConfig:
         if self.wrap_prec not in ("auto", "highest", "high"):
             raise ValueError("wrap_prec must be auto|highest|high, got "
                              f"{self.wrap_prec!r}")
+        if self.wrap_kernel not in ("auto", "fused", "xla"):
+            raise ValueError("wrap_kernel must be auto|fused|xla, got "
+                             f"{self.wrap_kernel!r}")
 
     @property
     def dtau(self) -> float:
@@ -496,6 +504,32 @@ class SDWModel:
             _wp = "highest"
         self._wrap_prec = (jax.lax.Precision.HIGH if _wp == "high"
                            else jax.lax.Precision.HIGHEST)
+        # fused single-pass wrap kernel dispatch (pallas_sdw_wrap):
+        # native pair planes, dense kinetic factors, f32, and a dim
+        # large enough that the (h, h) VMEM residency pays off
+        _wk = os.environ.get("DETQMC_TPU_WRAP", cfg.wrap_kernel)
+        if _wk not in ("auto", "fused", "xla"):
+            raise ValueError(
+                f"DETQMC_TPU_WRAP/wrap_kernel must be auto|fused|xla, "
+                f"got {_wk!r}")
+        _fusable = (self.native and not self.cb_sparse
+                    and cfg.jdtype == jnp.dtype("float32"))
+        if _wk == "auto":
+            # stays "xla" until the on-chip accuracy gate + A/B pass
+            # (default-flip protocol, BASELINE.md round 4); flip to the
+            # fused kernel happens in the commit carrying that pass
+            self._wrap_fused = False
+            self._wrap_interp = False
+        elif _wk == "fused":
+            if not _fusable:
+                raise ValueError(
+                    "wrap_kernel=fused needs the native-pair f32 "
+                    "representation with dense kinetic factors")
+            self._wrap_fused = True
+            self._wrap_interp = jax.default_backend() != "tpu"
+        else:
+            self._wrap_fused = False
+            self._wrap_interp = False
         if cfg.checkerboard:
             # per-orbital group coefficients: groups (0, 1) are horizontal
             # bonds (amplitude t_hor of that orbital's band), (2, 3)
@@ -1399,11 +1433,23 @@ class SDWModel:
 
     # ---- wraps ---------------------------------------------------------------
     def wrap_up(self, G, blocks, blocks_inv):
+        if self._wrap_fused:
+            from detqmc_tpu.linalg.pallas_sdw_wrap import fused_wrap
+
+            return fused_wrap(G, self.expK, self.expK_inv, blocks,
+                              blocks_inv, up=True,
+                              interpret=self._wrap_interp)
         p = self._wrap_prec
         return self.b_mult_left(
             blocks, self.b_inv_mult_right(G, blocks_inv, prec=p), prec=p)
 
     def wrap_down(self, G, blocks, blocks_inv):
+        if self._wrap_fused:
+            from detqmc_tpu.linalg.pallas_sdw_wrap import fused_wrap
+
+            return fused_wrap(G, self.expK, self.expK_inv, blocks,
+                              blocks_inv, up=False,
+                              interpret=self._wrap_interp)
         p = self._wrap_prec
         return self.b_inv_mult_left(
             blocks_inv, self.b_mult_right(G, blocks, prec=p), prec=p)
