@@ -48,12 +48,9 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(e_ref, einv_ref, d_ref, dinv_ref, g_in, g_out, t_ref, *,
-            q, N, up, cplx):
-    """One walker per grid step. g refs: (P, h, h) with P = 2 (re, im)
-    or 1 (real). d refs: (P, q, q, N) — site axis minor so the
-    per-site coefficient vectors are contiguous lane loads. e refs:
-    (q, N, N)."""
+def _mk_helpers(q, N, cplx):
+    """Factor-apply helpers over (P, h, h) refs — shared by the wrap
+    and the apply-left (absorb) kernels."""
     P = 2 if cplx else 1
 
     def kin_left(dst, src, e):
@@ -115,6 +112,16 @@ def _kernel(e_ref, einv_ref, d_ref, dinv_ref, g_in, g_out, t_ref, *,
             if cplx:
                 dst[1, :, pl.ds(b * N, N)] = acc_im
 
+    return kin_left, kin_right, dv_left, dv_right
+
+
+def _kernel(e_ref, einv_ref, d_ref, dinv_ref, g_in, g_out, t_ref, *,
+            q, N, up, cplx):
+    """One walker per grid step. g refs: (P, h, h) with P = 2 (re, im)
+    or 1 (real). d refs: (P, q, q, N) — site axis minor so the
+    per-site coefficient vectors are contiguous lane loads. e refs:
+    (q, N, N)."""
+    kin_left, kin_right, dv_left, dv_right = _mk_helpers(q, N, cplx)
     e = e_ref[...]
     einv = einv_ref[...]
     d = d_ref[...]
@@ -200,3 +207,85 @@ def fused_wrap(G, E, Einv, D, Dinv, *, up: bool,
     Dinvt = jnp.moveaxis(Dinv, -3, -1)
     fn = _make_wrap(q, N, bool(up), P == 2, bool(interpret))
     return fn(G, E, Einv, Dt, Dinvt)
+
+
+# ---- fused one-sided B apply (the absorb phase) -----------------------------
+def _apply_kernel(e_ref, d_ref, x_in, x_out, t_ref, *, q, N, dv_first,
+                  cplx):
+    """X := D . (E @ X) (dv_first=False: B apply, B = D_V expK) or
+    X := E @ (D . X) (dv_first=True: B^H apply with E = expK^T and
+    D = blocks^H passed by the caller)."""
+    kin_left, _, dv_left, _ = _mk_helpers(q, N, cplx)
+    e = e_ref[...]
+    d = d_ref[...]
+    if dv_first:
+        dv_left(t_ref, x_in, d)
+        kin_left(x_out, t_ref, e)
+    else:
+        kin_left(t_ref, x_in, e)
+        dv_left(x_out, t_ref, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_apply(q, N, dv_first, cplx, interpret):
+    h = q * N
+    P = 2 if cplx else 1
+
+    def _batched(X, E, D):
+        W = X.shape[0]
+        x_spec = pl.BlockSpec((None, P, h, h), lambda w: (w, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((q, N, N), lambda w: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        d_spec = pl.BlockSpec((None, P, q, q, N),
+                              lambda w: (w, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+        def kern(e_r, d_r, xi_r, xo_r, t_r):
+            _apply_kernel(e_r, d_r, xi_r, xo_r, t_r, q=q, N=N,
+                          dv_first=dv_first, cplx=cplx)
+
+        return pl.pallas_call(
+            kern,
+            grid=(W,),
+            out_shape=jax.ShapeDtypeStruct((W, P, h, h), jnp.float32),
+            in_specs=[e_spec, d_spec, x_spec],
+            out_specs=x_spec,
+            input_output_aliases={2: 0},
+            scratch_shapes=[pltpu.VMEM((P, h, h), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(E, D, X)
+
+    @jax.custom_batching.custom_vmap
+    def apply_(X, E, D):
+        return _batched(X[None], E, D[None])[0]
+
+    @apply_.def_vmap
+    def _rule(axis_size, in_batched, X, E, D):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size, *x.shape))
+
+        X = bcast(X, in_batched[0])
+        D = bcast(D, in_batched[2])
+        assert not in_batched[1], "E must be a per-model constant"
+        return _batched(X, E, D), True
+
+    return apply_
+
+
+def fused_apply_left(X, E, D, *, dv_first: bool,
+                     interpret: bool = False):
+    """One-HBM-round-trip B (or B^H) left apply to a SQUARE operand —
+    the sweep's absorb phase (B-chain accumulation into the lazy U).
+    X: (P, h, h); E: (q, N, N) (pass expK^T for the B^H case); D:
+    (P, N, q, q) per-site blocks (pass blocks^H for B^H). Leading
+    walker axes vmap over X/D."""
+    P, h = X.shape[-3], X.shape[-1]
+    q, N = E.shape[0], E.shape[1]
+    assert h == q * N and D.shape[-3:] == (N, q, q)
+    Dt = jnp.moveaxis(D, -3, -1)
+    fn = _make_apply(q, N, bool(dv_first), P == 2, bool(interpret))
+    return fn(X, E, Dt)

@@ -915,7 +915,20 @@ class SDWModel:
         return Xo.reshape(k, self.n_orb * self.cfg.n_sites)
 
     # B = D_V expK (potential leftmost, same convention as Hubbard)
+    def _fused_square(self, X) -> bool:
+        """Square native operand eligible for the one-round-trip fused
+        apply kernel (the absorb phase's lazy-U accumulation)."""
+        return (self._wrap_fused and X.ndim >= 3
+                and X.shape[-1] == self.dim and X.shape[-2] == self.dim
+                and X.dtype == jnp.float32)
+
     def b_mult_left(self, blocks, X, prec=None):
+        if self._fused_square(X):
+            from detqmc_tpu.linalg.pallas_sdw_wrap import fused_apply_left
+
+            return fused_apply_left(X, self.expK, blocks,
+                                    dv_first=False,
+                                    interpret=self._wrap_interp)
         return self.dv_mult_left(blocks,
                                  self.kinetic_mult_left(X, prec=prec),
                                  prec=prec)
@@ -942,6 +955,12 @@ class SDWModel:
                  -jnp.swapaxes(blocks[1], -1, -2)])
         else:
             blocksH = jnp.conj(jnp.swapaxes(blocks, -1, -2))
+        if self.native and self._fused_square(X):
+            from detqmc_tpu.linalg.pallas_sdw_wrap import fused_apply_left
+
+            return fused_apply_left(
+                X, jnp.swapaxes(self.expK, -1, -2), blocksH,
+                dv_first=True, interpret=self._wrap_interp)
         return self.kinetic_mult_left(self.dv_mult_left(blocksH, X),
                                       transpose=True)
 

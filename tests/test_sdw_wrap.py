@@ -79,3 +79,33 @@ def test_wrap_kernel_knob_validation():
         SDWModel(SDWConfig(L=2, opdim=3, beta=1.0, m=4, s=2,
                            dtype="float32", fermion_repr="real_embed",
                            wrap_kernel="fused"))
+
+
+@pytest.mark.parametrize("opdim", [2, 3], ids=["reduced-q2", "full-q4"])
+def test_fused_apply_left_matches_xla(opdim):
+    """The fused one-sided B / B^H applies (absorb phase) against the
+    chained XLA path, via the model's own dispatch (wrap_kernel=fused
+    in interpret mode vs the default XLA model)."""
+    kw = dict(L=2, opdim=opdim, r=0.5, beta=1.0, m=4, s=2,
+              dtype="float32", fermion_repr="native_pair")
+    m_xla = SDWModel(SDWConfig(**kw))
+    m_fused = SDWModel(SDWConfig(**kw, wrap_kernel="fused"))
+    assert not m_xla._wrap_fused and m_fused._wrap_fused
+    h = m_xla.dim
+    key = jax.random.key(11)
+    kx, kp = jax.random.split(key)
+    X = jax.random.normal(kx, (2, h, h), dtype=jnp.float32)
+    phi = jax.random.normal(kp, (m_xla.cfg.n_sites, m_xla.cfg.opdim),
+                            dtype=jnp.float32)
+    blocks = m_xla.exp_v_blocks(phi)
+    for name in ("b_mult_left", "bT_mult_left"):
+        ref = getattr(m_xla, name)(blocks, X)
+        out = getattr(m_fused, name)(blocks, X)
+        scale = max(float(jnp.abs(ref).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5 * scale, err_msg=name)
+    # non-square operands must fall through to the XLA path unchanged
+    V = jax.random.normal(kx, (2, h, 3), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(m_fused.b_mult_left(blocks, V)),
+        np.asarray(m_xla.b_mult_left(blocks, V)), atol=1e-6)
