@@ -159,19 +159,26 @@ def _make_wrap(q, N, up, cplx, interpret):
             _kernel(e_r, ei_r, d_r, di_r, gi_r, go_r, t_r,
                     q=q, N=N, up=up, cplx=cplx)
 
-        return pl.pallas_call(
-            kern,
-            grid=(W,),
-            out_shape=jax.ShapeDtypeStruct((W, P, h, h), jnp.float32),
-            in_specs=[bc((q, N, N)), bc((q, N, N)), d_spec, d_spec,
-                      g_spec],
-            out_specs=g_spec,
-            input_output_aliases={4: 0},
-            scratch_shapes=[pltpu.VMEM((P, h, h), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(E, Einv, D, Dinv, G)
+        # enable_x64(False): the model runtime enables global x64 for
+        # the f64 precision islands, which makes BlockSpec index maps
+        # trace as i64 — Mosaic cannot legalize i64 index returns
+        # ("failed to legalize func.return"; same guard as
+        # pallas_sdw_update)
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kern,
+                grid=(W,),
+                out_shape=jax.ShapeDtypeStruct((W, P, h, h),
+                                               jnp.float32),
+                in_specs=[bc((q, N, N)), bc((q, N, N)), d_spec, d_spec,
+                          g_spec],
+                out_specs=g_spec,
+                input_output_aliases={4: 0},
+                scratch_shapes=[pltpu.VMEM((P, h, h), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(E, Einv, D, Dinv, G)
 
     @jax.custom_batching.custom_vmap
     def wrap(G, E, Einv, D, Dinv):
@@ -245,18 +252,20 @@ def _make_apply(q, N, dv_first, cplx, interpret):
             _apply_kernel(e_r, d_r, xi_r, xo_r, t_r, q=q, N=N,
                           dv_first=dv_first, cplx=cplx)
 
-        return pl.pallas_call(
-            kern,
-            grid=(W,),
-            out_shape=jax.ShapeDtypeStruct((W, P, h, h), jnp.float32),
-            in_specs=[e_spec, d_spec, x_spec],
-            out_specs=x_spec,
-            input_output_aliases={2: 0},
-            scratch_shapes=[pltpu.VMEM((P, h, h), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(E, D, X)
+        with jax.enable_x64(False):     # see the wrap kernel's note
+            return pl.pallas_call(
+                kern,
+                grid=(W,),
+                out_shape=jax.ShapeDtypeStruct((W, P, h, h),
+                                               jnp.float32),
+                in_specs=[e_spec, d_spec, x_spec],
+                out_specs=x_spec,
+                input_output_aliases={2: 0},
+                scratch_shapes=[pltpu.VMEM((P, h, h), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(E, D, X)
 
     @jax.custom_batching.custom_vmap
     def apply_(X, E, D):
