@@ -515,10 +515,14 @@ class SDWModel:
         _fusable = (self.native and not self.cb_sparse
                     and cfg.jdtype == jnp.dtype("float32"))
         if _wk == "auto":
-            # stays "xla" until the on-chip accuracy gate + A/B pass
-            # (default-flip protocol, BASELINE.md round 4); flip to the
-            # fused kernel happens in the commit carrying that pass
-            self._wrap_fused = False
+            # measured on the chip (round 4, scripts/bisect_l4.py):
+            # SDW L=8 s=8 W=128 144.8 sweeps/s fused vs 130.7 XLA
+            # (+10.8%) at identical green_dev med (2.21e-5 vs 2.19e-5);
+            # accuracy gate pass attached to the flip commit. dim >=
+            # 128 keeps small shapes (L=4 dim 64: tiny per-walker
+            # matmuls) on the XLA path
+            self._wrap_fused = (_fusable and self.dim >= 128
+                                and jax.default_backend() == "tpu")
             self._wrap_interp = False
         elif _wk == "fused":
             if not _fusable:
