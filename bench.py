@@ -168,13 +168,30 @@ def _bench_qr_gflops(out):
         # compose in f64 like the models do (beta=8 d-span needs it)
         return udv.udv_refactor(Mb, db, Vb, compose_dtype=jnp.float64)
 
-    step = jax.jit(jax.vmap(refac_real))
-    r = jax.block_until_ready(step(M_, d0, f0.V))
-    n_rep = 20
+    n_rep = 8
+    d64, V64 = d0.astype(jnp.float64), f0.V.astype(jnp.float64)
+
+    # Timing rules for this runtime (round-4 measurements): (a) calls
+    # repeated on identical big buffers can be deduped/elided, (b)
+    # jax.block_until_ready does NOT reliably wait for micro-bench
+    # calls — only a host FETCH of a value does (the sweep benches are
+    # immune: block-vs-fetch agree exactly on evolving state). So:
+    # distinct per-call scalar input, fully-consumed outputs (sum over
+    # every factor), and a host fetch per timed call.
+    # the ~30 ms host-fetch tunnel latency is amortized over a scan of
+    # n_rep in-device steps; k0 varies per call so nothing dedupes
+    def chain_real(Mb, db, Vb, k0):
+        def body(acc, i):
+            f = refac_real(Mb * (1.0 + 1e-6 * (k0 + i)), db, Vb)
+            return acc + f.d.sum() + f.V.sum() + f.U.sum(), None
+        out, _ = jax.lax.scan(body, jnp.float64(0.0),
+                              jnp.arange(n_rep, dtype=jnp.float32))
+        return out
+
+    stepn = jax.jit(jax.vmap(chain_real, in_axes=(0, 0, 0, None)))
+    np.asarray(stepn(M_, d64, V64, jnp.float32(-99.0)))
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        r = step(M_, r.d, r.V)
-    jax.block_until_ready(r.d)
+    np.asarray(stepn(M_, d64, V64, jnp.float32(1.0)))
     dt = time.perf_counter() - t0
     flops = n_rep * W * (20.0 / 3.0) * n ** 3
     results["hubbard_qr_gflops"] = round(flops / dt / 1e9, 1)
@@ -189,19 +206,27 @@ def _bench_qr_gflops(out):
     def refac_cplx(Mb, db, Vb):
         return cudv.cudv_refactor(Mb, db, Vb)
 
-    stepc = jax.jit(jax.vmap(refac_cplx))
-    rc_ = jax.block_until_ready(stepc(Mc, dc, fc.V))
+    dc64, Vc64 = dc.astype(jnp.float64), fc.V.astype(jnp.float64)
+
+    def chain_cplx(Mb, db, Vb, k0):
+        def body(acc, i):
+            f = refac_cplx(Mb * (1.0 + 1e-6 * (k0 + i)), db, Vb)
+            return acc + f.d.sum() + f.V.sum() + f.U.sum(), None
+        out, _ = jax.lax.scan(body, jnp.float64(0.0),
+                              jnp.arange(n_rep, dtype=jnp.float32))
+        return out
+
+    stepcn = jax.jit(jax.vmap(chain_cplx, in_axes=(0, 0, 0, None)))
+    np.asarray(stepcn(Mc, dc64, Vc64, jnp.float32(-99.0)))
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        rc_ = stepc(Mc, rc_.d, rc_.V)
-    jax.block_until_ready(rc_.d)
+    np.asarray(stepcn(Mc, dc64, Vc64, jnp.float32(1.0)))
     dt = time.perf_counter() - t0
     flops = n_rep * Wc * 4.0 * (20.0 / 3.0) * nc ** 3
     results["sdw_qr_gflops"] = round(flops / dt / 1e9, 1)
     results["sdw_qr_mfu_pct"] = round(
-        100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
+        100.0 * flops / dt / V5E_PEAK_FLOPS, 3)
     results["hubbard_qr_mfu_pct"] = round(
-        100.0 * results["hubbard_qr_gflops"] * 1e9 / V5E_PEAK_FLOPS, 2)
+        100.0 * results["hubbard_qr_gflops"] * 1e9 / V5E_PEAK_FLOPS, 3)
     out.update(results)
     out["gate_pass"] = True
 
