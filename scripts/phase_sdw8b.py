@@ -123,6 +123,12 @@ def main():
     for _ in range(n_timed):
         out = fn(states)
     jax.block_until_ready(out)
+    # host fetch: on this runtime block_until_ready alone can return
+    # before small-output micro-bench work executes (see bench.py's
+    # qr_gflops notes); fetching a leaf forces completion. The phase
+    # numbers cross-check against the real sweep time (sum 980 vs 986
+    # ms measured), so the big-output sections were already honest.
+    np.asarray(jax.tree.leaves(out)[0])
     dt = (time.perf_counter() - t0) / n_timed
     tag = f" upd={UPD}/{DELAY}" if UPD != "auto" else ""
     print(f"{section:10s} L={L} W={W} s={S}:{tag} {dt * 1e3:8.1f} "
