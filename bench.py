@@ -97,13 +97,18 @@ def _bench_hubbard(out):
     states, occ = jax.block_until_ready(step(states))  # compile + warmup
 
     t0 = time.perf_counter()
-    states, occ = jax.block_until_ready(step(states))
+    states, occ = step(states)
+    # host fetch INSIDE the window: on this runtime block_until_ready
+    # can return before dispatched work executes (the sdw_l8 fused-wrap
+    # path measured an impossible 1e6 sweeps/s that way); fetching a
+    # leaf to the host is the only reliable completion barrier.
+    dev_np = np.asarray(states.green_dev)
     dt = time.perf_counter() - t0
 
     sweeps = N_WALKERS * N_TIMED_PAIRS * 2  # pair = 2 sweeps
     value = sweeps / dt
     occ_mean = float(np.asarray(occ).mean())
-    dev_med = float(np.median(np.asarray(states.green_dev)))
+    dev_med = float(np.median(dev_np))
     out["value"] = round(value, 2)
     out["vs_baseline"] = round(value / BASELINE_SWEEPS_PER_SEC, 2)
     out["green_dev_med"] = dev_med
@@ -128,10 +133,11 @@ def _bench_sdw_o3(out, L_, W, n_timed=3, checkerboard=False,
     t0 = time.perf_counter()
     for _ in range(n_timed):
         states, obs = step(states)
-    jax.block_until_ready(states.G)
+    # host fetch, not block_until_ready: see _bench_hubbard's note
+    dev_np = np.asarray(states.green_dev)
     dt = time.perf_counter() - t0
     value = W * n_timed * 2 / dt
-    dev_med = float(np.median(np.asarray(states.green_dev)))
+    dev_med = float(np.median(dev_np))
     phi2 = float(np.asarray(obs.phiSquared).mean())
     out["value"] = round(value, 2)
     out["vs_baseline"] = round(value / SDW_BASELINE_SWEEPS_PER_SEC[L_], 2)
@@ -279,11 +285,23 @@ def main() -> None:
         sections[name] = out
         print(f"# [{name}] {json.dumps(out)}", file=sys.stderr, flush=True)
 
-    run("hubbard", _bench_hubbard)
-    run("sdw_l4", _sdw_with_fallback, SDW_L, SDW_W, gate=GATES["sdw_l4"])
-    run("sdw_l8", _sdw_with_fallback, 8, SDW8_W, checkerboard=True,
-        s=SDW8_S, gate=GATES["sdw_l8"])
-    run("qr_gflops", _bench_qr_gflops)
+    # optional argv section filter (debug / re-measure one line);
+    # the driver runs `python bench.py` with no args = all sections
+    only = set(sys.argv[1:])
+
+    def want(name):
+        return not only or name in only
+
+    if want("hubbard"):
+        run("hubbard", _bench_hubbard)
+    if want("sdw_l4"):
+        run("sdw_l4", _sdw_with_fallback, SDW_L, SDW_W,
+            gate=GATES["sdw_l4"])
+    if want("sdw_l8"):
+        run("sdw_l8", _sdw_with_fallback, 8, SDW8_W, checkerboard=True,
+            s=SDW8_S, gate=GATES["sdw_l8"])
+    if want("qr_gflops"):
+        run("qr_gflops", _bench_qr_gflops)
 
     hub = sections.get("hubbard", {})
     sdw4 = sections.get("sdw_l4", {})

@@ -54,9 +54,10 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(args.n_timed):
         states, obs = step(states)
-    jax.block_until_ready(states.G)
-    dt = time.perf_counter() - t0
+    # host fetch inside the window: block_until_ready can return before
+    # dispatched work executes on this runtime (bench.py note)
     dev = np.asarray(states.green_dev)
+    dt = time.perf_counter() - t0
     print(json.dumps({
         "L": args.L, "W": args.W, "s": args.s, "kernel": args.kernel,
         "iters": args.iters,
