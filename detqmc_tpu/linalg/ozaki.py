@@ -33,6 +33,7 @@ true f64 matmul's backward error).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,12 +75,15 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
 
     sa = _pow2_above(jnp.max(jnp.abs(A), axis=-1, keepdims=True), tiny)
     sb = _pow2_above(jnp.max(jnp.abs(B), axis=-2, keepdims=True), tiny)
-    Ar = A / sa                                   # |Ar| <= 1, rows scaled
-    Br = B / sb                                   # cols scaled
 
-    def split(x):
+    def split_classic(x, sx):
+        """s-bit limb slices extracted in f64 arithmetic (exact to any
+        L). On TPU every round/div/sub here is an emulated-f64 pass —
+        ~90% of this function's measured wall time (scripts/
+        ozaki_anatomy.py) — so it is only used past the pair-split's
+        precision range."""
         out = []
-        r = x
+        r = x / sx                                # |r| <= 1, rows scaled
         for t in range(L):
             step = jnp.float64(2.0 ** (-s * (t + 1)))
             limb = jnp.round(r / step) * step     # s-bit slice, exact
@@ -87,8 +91,49 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
             out.append(limb.astype(jnp.bfloat16))  # exact: <= s <= 8 bits
         return out
 
-    Als = split(Ar)
-    Bls = split(Br)
+    def split_pair(x, sx):
+        """Same limb slices, but extracted in pure f32 from the float
+        pair (hi, lo) = (f32(x), f32(x - hi)) — two cheap casts + one
+        f64 subtract instead of ~4L emulated-f64 passes.
+
+        Exactness: sx is a power of two, so hi/s32 and the Dekker-style
+        round/subtract chain are exact in f32 (round-to-nearest, step a
+        power of two). After ceil(24/s) limbs the remainder has
+        magnitude <= 2^-24, at which point lo (the element's bits
+        24..48) is folded in; the single f32 add rounds at ~2^-49
+        relative to the row scale — below the L*s-bit truncation this
+        path is gated to (L*s <= 40), so accuracy is unchanged vs the
+        classic split (tests/test_ozaki.py)."""
+        s32 = sx.astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        lo = (x - x32.astype(jnp.float64)).astype(jnp.float32) / s32
+        r = x32 / s32
+        nb = -(-24 // s)                          # limbs covered by hi
+        out = []
+        for t in range(L):
+            step = jnp.float32(2.0 ** (-s * (t + 1)))
+            limb = jnp.round(r / step) * step
+            r = r - limb
+            if t + 1 == nb:
+                r = r + lo
+            out.append(limb.astype(jnp.bfloat16))
+        return out
+
+    # the pair split serves the hot chain/residual tiers (L*s <= 40
+    # bits: chain 4-5, residual 5 at s=8). Full-accuracy products
+    # (default 6 limbs = 48 bits) keep the exact f64 extraction: at 48
+    # bits the pair's own ~2^-49 fold-in rounding would sit exactly at
+    # the truncation floor and measurably shift it (test_ozaki green
+    # floor checks).
+    mode = os.environ.get("DETQMC_TPU_OZAKI_SPLIT", "auto")
+    if mode not in ("auto", "pair", "classic"):
+        raise ValueError(
+            f"DETQMC_TPU_OZAKI_SPLIT={mode!r}: expected auto|pair|classic")
+    use_pair = (mode == "pair") or (mode == "auto" and L * s <= 40)
+    split = split_pair if use_pair else split_classic
+
+    Als = split(A, sa)
+    Bls = split(B, sb)
 
     # each bf16 matmul is exact; combining them is where rounding could
     # re-enter, so every add is a compensated (TwoSum) f32-pair add —

@@ -95,6 +95,29 @@ def main():
         f, _ = jax.lax.scan(body, f0, None, length=K)
         return f.V
 
+    def refactor_qr(st):
+        # the lane-QR component of udv_refactor alone
+        from detqmc_tpu.linalg.udv import udv_decompose
+
+        def body(Mx, _):
+            g = udv_decompose(Mx)
+            return g.U + g.V, None
+        out, _ = jax.lax.scan(body, st.stack.U[1].astype(cfg.jdtype),
+                              None, length=K)
+        return out
+
+    def refactor_vchain(st):
+        # the Ozaki f64 V-chain product component alone
+        from detqmc_tpu.linalg import ozaki
+
+        def body(Vx, _):
+            V2 = ozaki.mm_f64(Vx, st.stack.V[2],
+                              limbs=ozaki.chain_limbs(
+                                  cfg.ozaki_chain_limbs))
+            return V2, None
+        out, _ = jax.lax.scan(body, st.stack.V[1], None, length=K)
+        return out
+
     def green(st):
         def body(c, k):
             left = UDV(st.stack.U[k], st.stack.d[k], st.stack.V[k])
@@ -119,7 +142,9 @@ def main():
         return out
 
     fns = dict(wraps=wraps, update=update, absorb=absorb,
-               refactor=refactor, green=green, measure=measure_fn)
+               refactor=refactor, refactor_qr=refactor_qr,
+               refactor_vchain=refactor_vchain,
+               green=green, measure=measure_fn)
     names = list(fns) if section == "all" else [section]
     for name in names:
         fn = jax.jit(jax.vmap(fns[name]))
