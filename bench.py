@@ -287,7 +287,13 @@ def main() -> None:
 
     # optional argv section filter (debug / re-measure one line);
     # the driver runs `python bench.py` with no args = all sections
+    known = {"hubbard", "sdw_l4", "sdw_l8", "sdw_l8b8", "qr_gflops"}
     only = set(sys.argv[1:])
+    unknown = only - known
+    if unknown:
+        print(f"bench.py: unknown section(s) {sorted(unknown)}; "
+              f"known: {sorted(known)}", file=sys.stderr)
+        sys.exit(2)
 
     def want(name):
         return not only or name in only

@@ -98,12 +98,14 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
 
         Exactness: sx is a power of two, so hi/s32 and the Dekker-style
         round/subtract chain are exact in f32 (round-to-nearest, step a
-        power of two). After ceil(24/s) limbs the remainder has
-        magnitude <= 2^-24, at which point lo (the element's bits
-        24..48) is folded in; the single f32 add rounds at ~2^-49
-        relative to the row scale — below the L*s-bit truncation this
-        path is gated to (L*s <= 40), so accuracy is unchanged vs the
-        classic split (tests/test_ozaki.py)."""
+        power of two). When s divides 24, the first 24/s limbs consume
+        hi exactly, the remainder is 0 at the lo fold-in, and the single
+        f32 add rounds at ~2^-49 relative to the row scale — below the
+        L*s-bit truncation this path is gated to (L*s <= 40), so
+        accuracy matches the classic split (tests/test_ozaki.py
+        pair-vs-classic parity at k=96/512). When s does NOT divide 24
+        (s=7), the fold-in misaligns with the grid and the limbs
+        overflow bf16 — auto excludes that case (see routing below)."""
         s32 = sx.astype(jnp.float32)
         x32 = x.astype(jnp.float32)
         lo = (x - x32.astype(jnp.float64)).astype(jnp.float32) / s32
@@ -124,12 +126,25 @@ def matmul_f64(A: jax.Array, B: jax.Array, limbs: int | None = None
     # (default 6 limbs = 48 bits) keep the exact f64 extraction: at 48
     # bits the pair's own ~2^-49 fold-in rounding would sit exactly at
     # the truncation floor and measurably shift it (test_ozaki green
-    # floor checks).
+    # floor checks). The pair split is only exact when the hi word's 24
+    # mantissa bits land on the s-bit limb grid, i.e. s | 24 (s = 8, 6,
+    # 4, ...): at s = 7 (k in 257..1024) the lo fold-in happens after
+    # nb = 4 limbs have consumed 28 grid bits, the ~2^-25 residual
+    # overflows the grid step and limb integers exceed bf16's 8 bits —
+    # measured 1.9-3.4x worse than classic at the capped tiers
+    # (ADVICE r4) — so auto excludes it. Auto also excludes the 4-limb
+    # tier even at s=8: measured 1.5x worse than classic there (k=96
+    # limbs=4: 7.7e-10 vs 5.1e-10) — enough to shift the refined-G
+    # chain-tier floor on graded chains (test_chain_limbs_green_floor)
+    # — while the 5-limb residual tier is equivalent (0.8-1.0x). So
+    # auto-pair requires L*s in (32, 40] on an s | 24 grid; `pair`
+    # forces it everywhere for A/B.
     mode = os.environ.get("DETQMC_TPU_OZAKI_SPLIT", "auto")
     if mode not in ("auto", "pair", "classic"):
         raise ValueError(
             f"DETQMC_TPU_OZAKI_SPLIT={mode!r}: expected auto|pair|classic")
-    use_pair = (mode == "pair") or (mode == "auto" and L * s <= 40)
+    use_pair = (mode == "pair") or (
+        mode == "auto" and 32 < L * s <= 40 and s * (-(-24 // s)) == 24)
     split = split_pair if use_pair else split_classic
 
     Als = split(A, sa)

@@ -75,6 +75,37 @@ def test_matmul_f64_reduced_limbs():
     assert errs[3] > errs[4] > errs[5] >= errs[6]
 
 
+@pytest.mark.parametrize("k", [96, 512])
+@pytest.mark.parametrize("limbs", [4, 5])
+def test_split_pair_parity_with_classic(k, limbs, monkeypatch):
+    """The pair split must match the classic split's accuracy wherever
+    auto selects it. At k=96 (s=8, 8|24) pair is exact and auto uses it;
+    at k=512 (s=7, 7∤24) the pair fold-in misaligns with the limb grid
+    (ADVICE r4: 1.9-3.4x worse), so auto must route to classic — assert
+    the auto path's error matches the classic path's at the capped
+    chain/residual tiers, not the degraded forced-pair one."""
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((16, k))
+    B = rng.standard_normal((k, 16))
+    ref = A @ B
+
+    def err(mode):
+        monkeypatch.setenv("DETQMC_TPU_OZAKI_SPLIT", mode)
+        return _rel_err(
+            np.asarray(matmul_f64(jnp.asarray(A), jnp.asarray(B),
+                                  limbs=limbs)), ref)
+
+    e_classic = err("classic")
+    e_auto = err("auto")
+    # auto is never worse than ~1.5x classic (identical rounding class)
+    assert e_auto <= 1.5 * e_classic + 1e-16
+    if k == 512:
+        # regression guard for the s=7 bug: forced pair is measurably
+        # worse there; auto must not have picked it
+        e_pair = err("pair")
+        assert e_pair > 1.5 * e_classic
+
+
 def test_refine_residual_limbs_float_of_inv():
     """inv_refined with the default residual limb cap (5) converges to
     the same floor as the full-accuracy residual on the graded inner
