@@ -67,6 +67,16 @@ def udv_decompose(A: jax.Array) -> UDV:
             and jax.default_backend() == "tpu"):
         from detqmc_tpu.linalg.pallas_qr_lanes import MAX_N, qr_lanes
 
+        from detqmc_tpu.linalg import cholqr
+
+        if cholqr.use_cholqr():
+            # batched all-MXU CholeskyQR2 (opt-in A/B route for the
+            # small-n huge-batch refactor QRs; R diag positive by
+            # construction so the sign fix is the identity)
+            Q, R = cholqr.cholqr2(A)
+            d = jnp.diagonal(R, axis1=-2, axis2=-1)
+            safe = jnp.where(d == 0, 1.0, d)
+            return UDV(U=Q, d=jnp.abs(d), V=scale_rows(1.0 / safe, R))
         if n <= MAX_N:
             Q, R = qr_lanes(A)
         else:
