@@ -62,6 +62,11 @@ SDW_L, SDW_BETA, SDW_M, SDW_S, SDW_W = 4, 4.0, 40, 4, 128
 SDW_BASELINE_SWEEPS_PER_SEC = {4: 67.6, 8: 3.41}
 SDW8_S = 8
 SDW8_W = 128
+# science regime (beta=8 m=80 s=8): single-core C++ sdw_baseline at the
+# same (L, beta, m, s) on the idle machine (2026-08-21:
+# `OPENBLAS_NUM_THREADS=1 ./sdw_baseline 8 8.0 80 8 2` -> 1.2214
+# sweeps/s, green_dev 1.9e-11) — see BASELINE.md
+SDW_L8B8_BASELINE = 1.22
 
 # v5e (v5 lite) chip peak: 197 TFLOP/s bf16 MXU. MFU below is
 # f64-equivalent algorithm FLOPs / bf16 peak — conservative: the Ozaki
@@ -77,6 +82,7 @@ GATES = {
     "hubbard": 6e-3,
     "sdw_l4": 1e-4,
     "sdw_l8": 1e-4,
+    "sdw_l8b8": 1e-4,
 }
 
 
@@ -119,10 +125,11 @@ def _bench_hubbard(out):
 
 
 def _bench_sdw_o3(out, L_, W, n_timed=3, checkerboard=False,
-                  green_kernel="auto", s=SDW_S, gate=1e-4):
+                  green_kernel="auto", s=SDW_S, gate=1e-4,
+                  beta=SDW_BETA, m=SDW_M, baseline=None):
     from detqmc_tpu.models.sdw import SDWConfig, SDWModel
 
-    cfg = SDWConfig(L=L_, opdim=3, r=0.5, beta=SDW_BETA, m=SDW_M,
+    cfg = SDWConfig(L=L_, opdim=3, r=0.5, beta=beta, m=m,
                     s=s, dtype="float32", checkerboard=checkerboard,
                     green_kernel=green_kernel)
     model = SDWModel(cfg)
@@ -139,8 +146,10 @@ def _bench_sdw_o3(out, L_, W, n_timed=3, checkerboard=False,
     value = W * n_timed * 2 / dt
     dev_med = float(np.median(dev_np))
     phi2 = float(np.asarray(obs.phiSquared).mean())
+    base = (SDW_BASELINE_SWEEPS_PER_SEC[L_] if baseline is None
+            else baseline)
     out["value"] = round(value, 2)
-    out["vs_baseline"] = round(value / SDW_BASELINE_SWEEPS_PER_SEC[L_], 2)
+    out["vs_baseline"] = round(value / base, 2)
     out["green_dev_med"] = dev_med
     out["green_kernel"] = green_kernel
     out["gate_pass"] = bool(dev_med < gate and np.isfinite(phi2))
@@ -306,12 +315,21 @@ def main() -> None:
     if want("sdw_l8"):
         run("sdw_l8", _sdw_with_fallback, 8, SDW8_W, checkerboard=True,
             s=SDW8_S, gate=GATES["sdw_l8"])
+    if want("sdw_l8b8"):
+        # the SDW model's SCIENCE regime (the reference's payload runs
+        # live at beta ~ 8-20): L=8 beta=8 m=80, s=8, refine n_iter
+        # auto=2, chain tier auto=5 (equilibrium inner cond ~1.6e7;
+        # route + denominators in BASELINE.md "SDW science regime")
+        run("sdw_l8b8", _sdw_with_fallback, 8, SDW8_W,
+            checkerboard=True, s=SDW8_S, gate=GATES["sdw_l8b8"],
+            beta=8.0, m=80, baseline=SDW_L8B8_BASELINE)
     if want("qr_gflops"):
         run("qr_gflops", _bench_qr_gflops)
 
     hub = sections.get("hubbard", {})
     sdw4 = sections.get("sdw_l4", {})
     sdw8 = sections.get("sdw_l8", {})
+    sdwb8 = sections.get("sdw_l8b8", {})
     qr = sections.get("qr_gflops", {})
     ok = all(s.get("status") == "ok" and s.get("gate_pass", False)
              for s in sections.values())
@@ -325,6 +343,8 @@ def main() -> None:
         f"sdw_o3_L{SDW_L}_vs_baseline": sdw4.get("vs_baseline"),
         f"sdw_o3_L8_beta{int(SDW_BETA)}_sweeps_per_sec": sdw8.get("value"),
         "sdw_o3_L8_vs_baseline": sdw8.get("vs_baseline"),
+        "sdw_o3_L8_beta8_sweeps_per_sec": sdwb8.get("value"),
+        "sdw_o3_L8_beta8_vs_baseline": sdwb8.get("vs_baseline"),
         "qr_chain_gflops": {k: v for k, v in qr.items()
                             if k.endswith("gflops") or k.endswith("pct")},
         "ok": ok,

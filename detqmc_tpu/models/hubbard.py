@@ -714,6 +714,58 @@ class HubbardModel:
         G/stacks stay valid across a swap."""
         return state._replace(h=jnp.asarray(h, self.cfg.jdtype))
 
+    def _full_chain_t(self, field: jax.Array) -> UDV:
+        """Full transposed B-chain (B_m...B_1)^T as a stabilized UdV
+        factor, rebuilt from the field (the interval scan of
+        refresh_from_field without the stack emission)."""
+        cfg = self.cfg
+        s_int, K, sdt = cfg.s, cfg.n_stack, cfg.stab_jdtype
+        cb = self.cb_sparse
+
+        def build_interval(f_carry, k):
+            def absorb(lazy_U, l_rel):
+                l = k * s_int - l_rel
+                e = self.exp_v(field[l - 1])
+                return bchain.bT_mult_left(self.prop, e, lazy_U,
+                                           checkerboard=cb), None
+
+            lazy_U, _ = jax.lax.scan(absorb, f_carry.U,
+                                     jnp.arange(s_int))
+            f_new = udv_refactor(lazy_U, f_carry.d, f_carry.V,
+                                 compose_dtype=sdt,
+                                 chain_limbs=cfg.ozaki_chain_limbs)
+            return f_new, None
+
+        full_t, _ = jax.lax.scan(build_interval, self._eye_mixed(),
+                                 jnp.arange(K, 0, -1))
+        return full_t
+
+    def log_weight(self, field: jax.Array, h=None) -> jax.Array:
+        """log|w(s)| of a full HS configuration, up to an s-independent
+        constant: sum_sigma log|det(1 + B_sigma-chain)| (+ the staggered
+        bias term h * sum eta s when tempering h).
+
+        Used by det-coupled parallel tempering (parallel/det_pt.py):
+        tempering a determinant-coupled parameter (beta/dtau, U, mu)
+        needs the fermionic weight at both grid values at swap time.
+        Returns log|w|: in a sign-problem regime the chain samples |w|
+        and folds the sign into observables, so |w| is the correct swap
+        weight for the sampled distribution. ph mode uses the exact
+        half-filling identity det M_up det M_dn = e^{-alpha sum s}
+        (det M_up)^2 (see _chain_sign). det(1 + A^T) = det(1 + A).
+        (Reference parity: SURVEY.md §9 swap weights; src/detqmcpt.h.)"""
+        if h is None:
+            h = self.cfg.stagger_h
+        full_t = self._full_chain_t(field)
+        lds, _ = log_det_one_plus_udv(UDV(
+            full_t.U, full_t.d, full_t.V.astype(full_t.U.dtype)))
+        if self.cfg.ph_on:
+            ld = 2.0 * lds[0] - self.cfg.alpha * jnp.sum(field)
+        else:
+            ld = lds[0] + lds[1]
+        stag = jnp.sum(self.stagger[None, :] * field)
+        return ld + h * stag
+
     # -- naive cross-check sweep --------------------------------------------
     def green_at_slice(self, field: jax.Array, l: int) -> jax.Array:
         """Stabilized G(l) rebuilt from the field alone, refactoring at

@@ -146,18 +146,26 @@ class SDWConfig:
     # df32 kernel in native mode (the non-refined native default)
     green_kernel: str = "auto"
     # refinement steps for green_kernel="refine" (each = one Ozaki f64
-    # residual + two f32 MXU matmuls). One step already reaches the
-    # accuracy floor on the graded oracle chain (1.2e-5 -> 1.3e-7;
-    # iteration 2 changes nothing) and measured 76.1 vs 68.5 sweeps/s
-    # at SDW L=8 on the v5e with identical green_dev.
-    green_refine_iters: int = 1
+    # residual + two f32 MXU matmuls). None = auto by conditioning
+    # regime: the Newton contraction factor scales with the inner
+    # matrix's cond, which the on-chip equilibrium measurements put at
+    # ~2e4 for beta <= 4 (one step reaches the floor: r3 scan,
+    # 76.1 sweeps/s at identical green_dev) but ~1.6e7 med / 3.8e8 p90
+    # at beta = 8 (scripts/sdw_inner_cond.py, r5) — where n_iter=1
+    # diverges outright (green_dev 0.33) and TWO steps restore the
+    # healthy floor (dev med 2.20e-5, identical to n_iter=3 and to the
+    # df32 kernels, at 1.7x the df32 throughput; scripts/sdw_b8_scan.py
+    # r5). Auto: 1 for beta <= 5, else 2. Explicit ints override.
+    green_refine_iters: int | None = None
     # Ozaki limb tier for the structural chain products (V-chain
-    # accumulation + green-inner VVh, ozaki.chain_limbs). The SDW
-    # range-split inner measures cond ~2e4, where 4 limbs sits at the
-    # refined-G floor (measured: 78.8 -> 91.4 sweeps/s at L=8 vs the
-    # full tier, green_dev unchanged); Hubbard's harsher conditioning
-    # needs 5 (see HubbardConfig.ozaki_chain_limbs).
-    ozaki_chain_limbs: int = 4
+    # accumulation + green-inner VVh, ozaki.chain_limbs). None = auto
+    # by conditioning regime: the VVh error enters the solve amplified
+    # by the inner cond — at beta <= 4's ~2e4, 4 limbs sits at the
+    # refined-G floor (measured: 78.8 -> 91.4 sweeps/s at L=8, dev
+    # unchanged; r3); at beta = 8's ~1.6e7 the r5 scan measured limbs 5
+    # healthy for both green routes (limbs 4 only verified for df32),
+    # so auto is conservative there. Auto: 4 for beta <= 5, else 5.
+    ozaki_chain_limbs: int | None = None
     # fused lane-batched slice-update kernel (linalg/pallas_sdw_update):
     # "auto" = on TPU for f32 phase-free representations (embedded
     # opdim >= 2, or the real opdim-1 sector); "pallas" forces it
@@ -306,6 +314,8 @@ class SDWObservables(NamedTuple):
     spinZCorrelation: jax.Array      # (N,) <S^z_0 S^z_d> fermionic
     spinZStructureFactor: jax.Array  # (N,)
     pairingCorrelation: jax.Array    # (N,) onsite s-wave <Delta†_0 Delta_d>
+    kOccupationX: jax.Array          # (N,) n_x(k) over the k-grid
+    kOccupationY: jax.Array          # (N,) n_y(k) (both spins each)
     occupancyX: jax.Array            # filling of the x band (both spins)
     occupancyY: jax.Array
 
@@ -353,7 +363,8 @@ class SDWModel:
     vector_observables = ("phiCorrelation", "phiStructureFactor",
                           "chargeCorrelation", "chargeStructureFactor",
                           "spinZCorrelation", "spinZStructureFactor",
-                          "pairingCorrelation", "greenKTauVector")
+                          "pairingCorrelation", "kOccupationX",
+                          "kOccupationY", "greenKTauVector")
 
     def __init__(self, cfg: SDWConfig):
         self.cfg = cfg
@@ -599,6 +610,14 @@ class SDWModel:
             self._green_interpret = False
         else:
             raise ValueError(f"unknown green_kernel {cfg.green_kernel!r}")
+        # refine iteration count + chain limb tier: auto by conditioning
+        # regime (see the config comments; measured on-chip r5)
+        self.refine_iters = (cfg.green_refine_iters
+                             if cfg.green_refine_iters is not None
+                             else (1 if cfg.beta <= 5.0 else 2))
+        self.chain_limbs = (cfg.ozaki_chain_limbs
+                            if cfg.ozaki_chain_limbs is not None
+                            else (4 if cfg.beta <= 5.0 else 5))
         # fused slice-update kernel dispatch: needs a phase-free weight
         # (the kernel does not track det phases — true for the reduced
         # sectors and for the full matrix under the model's antiunitary
@@ -650,14 +669,14 @@ class SDWModel:
     def _green(self, left: UDV, right_t: UDV) -> jax.Array:
         """Stabilized G from factored halves on the fastest valid path
         (same dispatch as HubbardModel._green)."""
-        cl = self.cfg.ozaki_chain_limbs
+        cl = self.chain_limbs
         if self.native:
             if self._green_refine:
                 from detqmc_tpu.linalg.cudv import cgreen_refine
 
                 return cgreen_refine(
                     left, right_t,
-                    n_iter=self.cfg.green_refine_iters,
+                    n_iter=self.refine_iters,
                     interpret=self._green_interpret, chain_limbs=cl)
             from detqmc_tpu.linalg.cudv import cgreen_from_two_udv_df32
 
@@ -669,7 +688,7 @@ class SDWModel:
             from detqmc_tpu.linalg.udv import green_refine
 
             return green_refine(left, right_t,
-                                n_iter=self.cfg.green_refine_iters,
+                                n_iter=self.refine_iters,
                                 interpret=self._green_interpret,
                                 chain_limbs=cl)
         if self._green_pallas:
@@ -686,7 +705,7 @@ class SDWModel:
         """udv_refactor on the representation in play (complex-pair
         matrices in native mode)."""
         cdt = compose_dtype or self.stab_dtype_eff
-        cl = self.cfg.ozaki_chain_limbs
+        cl = self.chain_limbs
         if self.native:
             from detqmc_tpu.linalg.cudv import cudv_refactor
 
@@ -1572,6 +1591,19 @@ class SDWModel:
         c_nn = self._translation_average(nn)
         c_zz = self._translation_average(szsz)
         c_pair = self._translation_average(pair)
+        # k-resolved single-particle occupation per band (both spins):
+        # n_o(k) = sum_d e^{-ik.d} c_o(d), c_o(d) = (1/N) sum_i
+        # <c†_{o,i} c_{o,i+d}> — A is Hermitian so n(k) is real and the
+        # sin part picks up c_o's imaginary plane (reference: DetSDW
+        # measure()'s kOcc vectors, SURVEY.md §3 "SDW model"; VERDICT r4
+        # missing #4). Works across all four fermion representations via
+        # the physical-parts reconstruction above.
+        kocc = []
+        for orbs in ((0, 1), (2, 3)):
+            cre = sum(self._translation_average(A_re[o, o]) for o in orbs)
+            cim = sum(self._translation_average(A_im[o, o]) for o in orbs)
+            kocc.append(mm(self.four_cos, cre[:, None])[:, 0]
+                        + mm(self.four_sin, cim[:, None])[:, 0])
         # structure factors: FT of the connected (exchange) parts
         conn_nn = self._translation_average(exch_nn)
         conn_zz = self._translation_average(exch_zz)
@@ -1583,6 +1615,8 @@ class SDWModel:
             "spinZStructureFactor": mm(self.four_cos,
                                        conn_zz[:, None])[:, 0],
             "pairingCorrelation": c_pair,
+            "kOccupationX": kocc[0],
+            "kOccupationY": kocc[1],
             "occupancyX": n_oi[0].mean() + n_oi[1].mean(),
             "occupancyY": n_oi[2].mean() + n_oi[3].mean(),
         }
@@ -2009,6 +2043,21 @@ class SDWModel:
     def with_r(self, state: "SDWState", r) -> "SDWState":
         return state._replace(r=jnp.asarray(r, self.cfg.jdtype))
 
+    def log_weight(self, phi, r=None) -> jax.Array:
+        """Full configuration log-weight log w(phi) = logdet_fac *
+        log|det chain| - S_B[phi], up to a phi-independent constant.
+
+        Used by det-coupled parallel tempering (parallel/det_pt.py):
+        swapping configurations between replicas whose DETERMINANT
+        depends on the tempered parameter (beta/dtau, lambda, u)
+        requires the full weight at both parameter values — unlike the
+        action-linear r/stagger_h swaps the reference's bosonic-only
+        exchange formula covers (SURVEY.md §9 "Parallel tempering";
+        src/detqmcpt.h). Cost: one stabilized chain build + log-det
+        (the same class as a global-move accept)."""
+        ld, _ = self._chain_logdet(phi)
+        return self.logdet_fac * ld - self.boson_action(phi, r)
+
     # ---- setup -------------------------------------------------------------------
     def _eye_mixed(self):
         cfg = self.cfg
@@ -2097,21 +2146,21 @@ class SDWModel:
                 from detqmc_tpu.linalg.cudv import cgreen_tau_zero_refine
 
                 return lambda l_, r_: cgreen_tau_zero_refine(
-                    l_, r_, n_iter=self.cfg.green_refine_iters,
+                    l_, r_, n_iter=self.refine_iters,
                     interpret=self._green_interpret,
-                    chain_limbs=self.cfg.ozaki_chain_limbs)
+                    chain_limbs=self.chain_limbs)
             from detqmc_tpu.linalg.cudv import cgreen_tau_zero_df32
 
             return lambda l_, r_: cgreen_tau_zero_df32(
                 l_, r_, interpret=self._green_interpret,
-                chain_limbs=self.cfg.ozaki_chain_limbs)
+                chain_limbs=self.chain_limbs)
         if self._green_refine:
             from detqmc_tpu.linalg.udv import green_tau_zero_refine
 
             return lambda l_, r_: green_tau_zero_refine(
-                l_, r_, n_iter=self.cfg.green_refine_iters,
+                l_, r_, n_iter=self.refine_iters,
                 interpret=self._green_interpret,
-                chain_limbs=self.cfg.ozaki_chain_limbs)
+                chain_limbs=self.chain_limbs)
         return lambda l_, r_: green_tau_zero(
             l_, r_, compute_dtype=self.stab_dtype_eff)
 

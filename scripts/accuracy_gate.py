@@ -32,8 +32,11 @@ from detqmc_tpu import compile_cache
 
 compile_cache.enable()
 
-# shape -> (builder, gate). Gates match bench.py's GATES.
-GATES = {"hubbard": 6e-3, "sdw4": 1e-4, "sdw8": 1e-4}
+# shape -> (builder, gate). Gates match bench.py's GATES. sdw8b8 is
+# the conditioning-regime shape (equilibrium inner cond ~1.6e7 at
+# beta=8 vs ~2e4 at beta=4) where the round-3/4 lessons say precision
+# failures actually live — every default flip must pass it too.
+GATES = {"hubbard": 6e-3, "sdw4": 1e-4, "sdw8": 1e-4, "sdw8b8": 1e-4}
 
 
 def _hubbard():
@@ -50,12 +53,12 @@ def _hubbard():
     return float(np.median(np.asarray(states.green_dev)))
 
 
-def _sdw(L, s, checkerboard):
+def _sdw(L, s, checkerboard, beta=4.0, m=40):
     # W=128 + measure=True matches scripts/bisect_l4.py — the sweep
     # program is already in the persistent compile cache
     from detqmc_tpu.models.sdw import SDWConfig, SDWModel
 
-    cfg = SDWConfig(L=L, opdim=3, r=0.5, beta=4.0, m=40, s=s,
+    cfg = SDWConfig(L=L, opdim=3, r=0.5, beta=beta, m=m, s=s,
                     dtype="float32", checkerboard=checkerboard)
     model = SDWModel(cfg)
     states = jax.jit(jax.vmap(model.init_state))(
@@ -71,6 +74,7 @@ SHAPES = {
     "hubbard": _hubbard,
     "sdw4": lambda: _sdw(4, 4, False),
     "sdw8": lambda: _sdw(8, 8, True),
+    "sdw8b8": lambda: _sdw(8, 8, True, beta=8.0, m=80),
 }
 
 

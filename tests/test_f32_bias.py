@@ -75,3 +75,63 @@ def test_sdw_f32_chain_unbiased_vs_f64():
     _assert_within_error(res32, res64)
     dev = float(np.median(np.asarray(q32.states.green_dev)))
     assert dev < 5e-3, f"f32 wrapped-G drift {dev} out of spec"
+
+
+# The headline-shape ensembles below cost ~0.5-1 h each on this 1-CPU
+# box, which would dominate the whole suite's budget — they are gated
+# behind DETQMC_TPU_RUN_HEADLINE_BIAS=1 and run once per round as the
+# recorded bias evidence (BASELINE.md "Bias bounds at the headline
+# shapes"); the L=4-class tests above stay in every run.
+_headline = pytest.mark.skipif(
+    not __import__("os").environ.get("DETQMC_TPU_RUN_HEADLINE_BIAS"),
+    reason="headline-shape ensemble (set DETQMC_TPU_RUN_HEADLINE_BIAS=1)")
+
+
+@pytest.mark.slow
+@_headline
+def test_hubbard_headline_shape_bias():
+    """Hubbard L=8 beta=8 (the bench.py headline shape): the f32 chain's
+    acceptance bias must stay inside combined stochastic error — this is
+    the measurement the bench gate (6e-3 on wrapped drift) is restated
+    from (VERDICT r4 item 5)."""
+    obs_names = ("doubleOccupancy", "kineticEnergy",
+                 "spinStructureFactorAF")
+
+    def run(dtype, seed):
+        cfg = HubbardConfig(L=8, U=4.0, beta=8.0, m=80, s=4, dtype=dtype)
+        p = DriverConfig(sweeps=120, thermalization=30, n_walkers=8,
+                         seed=seed, block_meas=30, jk_blocks=10)
+        qmc = DetQMC(HubbardModel(cfg), p)
+        res = qmc.run()
+        return {k: res[k] for k in obs_names if k in res}, qmc
+
+    res32, q32 = run("float32", 11)
+    res64, _ = run("float64", 12)
+    assert res32, "observable names drifted; update the test"
+    _assert_within_error(res32, res64)
+    dev = float(np.median(np.asarray(q32.states.green_dev)))
+    assert dev < 6e-3, f"f32 wrapped-G drift {dev} out of the bench gate"
+
+
+@pytest.mark.slow
+@_headline
+def test_sdw_headline_shape_bias():
+    """SDW O(3) L=8 beta=4 (the bench.py sdw_l8 shape, s=8): f32 vs fp64
+    ensemble agreement at the science-scale lattice."""
+    obs_names = ("phiSquared", "phiNorm", "occupancy", "kineticEnergy")
+
+    def run(dtype, seed):
+        cfg = SDWConfig(L=8, opdim=3, r=0.5, beta=4.0, m=40, s=8,
+                        dtype=dtype, checkerboard=True)
+        p = DriverConfig(sweeps=100, thermalization=25, n_walkers=8,
+                         seed=seed, block_meas=25, jk_blocks=10)
+        qmc = DetQMC(SDWModel(cfg), p)
+        res = qmc.run()
+        return {k: res[k] for k in obs_names if k in res}, qmc
+
+    res32, q32 = run("float32", 13)
+    res64, _ = run("float64", 14)
+    assert res32, "observable names drifted; update the test"
+    _assert_within_error(res32, res64)
+    dev = float(np.median(np.asarray(q32.states.green_dev)))
+    assert dev < 1e-4, f"f32 wrapped-G drift {dev} out of the bench gate"

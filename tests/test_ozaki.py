@@ -265,9 +265,14 @@ def test_chain_limbs_resolution():
         assert chain_limbs(5) == 6
 
     from detqmc_tpu.models.hubbard import HubbardConfig
-    from detqmc_tpu.models.sdw import SDWConfig
+    from detqmc_tpu.models.sdw import SDWConfig, SDWModel
     assert HubbardConfig(L=4, beta=4.0, m=8, s=4).ozaki_chain_limbs == 5
-    assert SDWConfig(L=2, beta=1.0, m=8, s=4).ozaki_chain_limbs == 4
+    # SDW resolves the tier by conditioning regime at model init
+    # (beta <= 5 -> 4 limbs, beyond -> 5; r5 on-chip measurements)
+    assert SDWModel(SDWConfig(L=2, beta=1.0, m=8, s=4)).chain_limbs == 4
+    assert SDWModel(SDWConfig(L=2, beta=8.0, m=16, s=4)).chain_limbs == 5
+    assert SDWModel(SDWConfig(L=2, beta=8.0, m=16, s=4,
+                              ozaki_chain_limbs=4)).chain_limbs == 4
 
 
 def test_matmul_f64_zero_rows():
