@@ -289,6 +289,23 @@ def _prec() -> str:
     return os.environ.get("DETQMC_TPU_DELAYED_PREC", "highest")
 
 
+def _flush_each() -> bool:
+    """Flush G after EVERY chunk instead of deferring to one end-of-
+    slice rank-Nq flush with cross-chunk panel corrections.
+
+    FLOP accounting at SDW L=8 (h=256, N=64, q=4, W=128): the deferred
+    scheme's cross-chunk panel corrections cost ~sum_c 2h(cKq)(Kq)W
+    ~ h (Nq)^2 W MXU flops per slice — several times the flush itself —
+    and at precision=highest that is the dominant term (consistent with
+    round 4's neutral/negative delayed measurements). Flushing per
+    chunk removes the corrections entirely at the price of one full-G
+    HBM read+write per chunk; total flush flops are IDENTICAL
+    (2 h^2 Nq W per slice either way). Default on; trace-time env knob
+    DETQMC_TPU_DELAYED_FLUSH=defer opts back into the single-flush
+    scheme for A/B."""
+    return os.environ.get("DETQMC_TPU_DELAYED_FLUSH", "each") != "defer"
+
+
 def _pmm(a, b):
     """Batched (re, im)-pair matmul (w, m, k) @ (w, k, n), f32-accurate
     (precision=highest -> bf16x6 passes on the MXU; see _prec)."""
@@ -356,6 +373,7 @@ def _make_slice_update_delayed(N, q, opdim, nb, dtau, c_det, h, cplx,
                          Gp, N * q, q) if cplx else None
         nb_arr = jnp.asarray(nb_np, jnp.int32)
 
+        flush_each = _flush_each()
         Ccat = None   # (Wp, h, kq_done) pair — previous chunks' buffers
         Rcat = None   # (Wp, kq_done, h) pair
         acc_total = jnp.zeros((Wp,), f32)
@@ -404,9 +422,18 @@ def _make_slice_update_delayed(N, q, opdim, nb, dtau, c_det, h, cplx,
                 k += 1
             phil_l = outs[k]
             acc_total = acc_total + outs[k + 1].reshape(Wp)
-            if Ccat is None:
-                Ccat = (C_c[0], C_c[1] if cplx else None)
-                Rcat = (R_c[0], R_c[1] if cplx else None)
+            Cp = (C_c[0], C_c[1] if cplx else None)
+            Rp = (R_c[0], R_c[1] if cplx else None)
+            if flush_each:
+                # immediate rank-Kq MXU flush: G stays current, so the
+                # next chunk's panels need no corrections (see
+                # _flush_each)
+                fl = _pmm(Cp, Rp)
+                gre32 = gre32 - fl[0]
+                if cplx:
+                    gim32 = gim32 - fl[1]
+            elif Ccat is None:
+                Ccat, Rcat = Cp, Rp
             else:
                 Ccat = (jnp.concatenate([Ccat[0], C_c[0]], axis=2),
                         jnp.concatenate([Ccat[1], C_c[1]], axis=2)
@@ -416,10 +443,14 @@ def _make_slice_update_delayed(N, q, opdim, nb, dtau, c_det, h, cplx,
                         if cplx else None)
             i0 += Kc
 
-        # one rank-Nq MXU flush for the whole slice
-        fl = _pmm(Ccat, Rcat)
-        gre_o = (gre32 - fl[0])[:W]
-        gim_o = (gim32 - fl[1])[:W] if cplx else None
+        # deferred mode: one rank-Nq MXU flush for the whole slice
+        if not flush_each:
+            fl = _pmm(Ccat, Rcat)
+            gre32 = gre32 - fl[0]
+            if cplx:
+                gim32 = gim32 - fl[1]
+        gre_o = gre32[:W]
+        gim_o = gim32[:W] if cplx else None
         phi_o = _from_lanes(phil_l, Gp, N, opdim)[:W]
         acc = acc_total[:W]
         if cplx:
