@@ -167,6 +167,13 @@ def _bench_qr_gflops(out):
       V-chain (R' V)        : 2 n^3
       total                 : 20/3 n^3 real; complex = 4x real.
     """
+    # section isolation: the f64 stab-island casts below need x64 (the
+    # model constructors normally enable it; a standalone
+    # `bench.py qr_gflops` run otherwise silently truncates the d/V
+    # chain to f32 and measures the wrong thing)
+    from detqmc_tpu.precision import ensure_runtime
+
+    ensure_runtime(need_x64=True)
     from detqmc_tpu.linalg import cudv, udv
 
     results = {}

@@ -101,12 +101,20 @@ def cudv_refactor(M, d, V, compose_dtype=None, chain_limbs=None) -> UDV:
     d = d.astype(rdt)
     d_new = g.d.astype(rdt) * d
     tiny = jnp.finfo(rdt).tiny
-    logd = jnp.log(jnp.maximum(d, tiny))
     n = M.shape[-1]
     upper = jnp.triu(jnp.ones((n, n), dtype=bool))
-    ratio = jnp.where(upper,
-                      jnp.exp(logd[..., None, :] - logd[..., :, None]),
-                      0.0)
+    # direct d_k / d_j division instead of the log/exp round trip —
+    # bounded by the chain's d-spread, inside f64 range to beta ~ 25;
+    # see udv.udv_refactor's note (the real twin, measured on-chip r5)
+    if rdt == jnp.float64:
+        ds = jnp.maximum(d, tiny)
+        ratio = jnp.where(upper,
+                          ds[..., None, :] / ds[..., :, None], 0.0)
+    else:
+        logd = jnp.log(jnp.maximum(d, tiny))
+        ratio = jnp.where(
+            upper,
+            jnp.exp(logd[..., None, :] - logd[..., :, None]), 0.0)
     Vb = g.V.astype(rdt) * ratio[..., None, :, :].astype(rdt)
     from detqmc_tpu.linalg import ozaki
 

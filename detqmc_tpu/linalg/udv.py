@@ -146,12 +146,25 @@ def udv_refactor(M: jax.Array, d: jax.Array, V: jax.Array,
     d = d.astype(rdt)
     d_new = g.d.astype(rdt) * d
     tiny = jnp.finfo(rdt).tiny
-    logd = jnp.log(jnp.maximum(d, tiny))
     n = M.shape[-1]
     upper = jnp.triu(jnp.ones((n, n), dtype=bool))
-    ratio = jnp.where(upper,
-                      jnp.exp(logd[..., None, :] - logd[..., :, None]),
-                      0.0)
+    # d_k / d_j directly: the ratio is bounded by the chain's d-SPREAD
+    # (e^{2 beta W} ~ 1e55 at beta=8), far inside f64 range up to
+    # beta ~ 25 — one emulated-f64 divide per entry instead of the
+    # log/exp round trip, which measured 2.7 ms of the 4.1 ms refactor
+    # at the Hubbard bench shape (r5; emulated transcendentals are the
+    # expensive TPU ops, division is cheap). In f32 compose mode the
+    # spread can overflow f32 at beta >~ 6, so that path keeps the
+    # log-domain form (it is not the hot configuration).
+    if rdt == jnp.float64:
+        ds = jnp.maximum(d, tiny)
+        ratio = jnp.where(upper,
+                          ds[..., None, :] / ds[..., :, None], 0.0)
+    else:
+        logd = jnp.log(jnp.maximum(d, tiny))
+        ratio = jnp.where(
+            upper,
+            jnp.exp(logd[..., None, :] - logd[..., :, None]), 0.0)
     Vb = g.V.astype(cdt) * ratio.astype(cdt)
     # the V-chain accumulation is the sweep's hottest f64 product on TPU
     # (40 calls/pair at the headline config); mm_f64 routes it through
