@@ -634,6 +634,16 @@ class SDWModel:
                 or (self.native and not cfg.turnoffFermions))
             self._update_interpret = (self.native and
                                       jax.default_backend() != "tpu")
+            # delayed-chunk variant at science-scale dims: the rank-q
+            # G read-modify-write dominates the update phase there and
+            # the per-chunk MXU flush beats the in-kernel VPU RMW —
+            # measured r5 (flush-each, K=8, W=128): L=8 beta=4
+            # 149.8 -> 164.0 (+9.5%), beta=8 70.2 -> 76.5 (+9.0%),
+            # green_dev identical; L=4 (dim 64) REGRESSES 9.5% (glue
+            # dominates the small-G RMW), hence the dim gate.
+            self._update_delayed = (self._update_pallas
+                                    and jax.default_backend() == "tpu"
+                                    and self.dim >= 128)
         elif cfg.update_kernel in ("pallas", "delayed"):
             if not phase_free:
                 raise ValueError(
